@@ -1,0 +1,16 @@
+from .activation import trunc_exp
+from .sh import sh_encode
+from .tonemapping import Tonemapping
+from .grid_sample import grid_sample_2d, grid_sample_3d
+from .hash_grid import HashGridConfig, hash_grid_init, hash_grid_encode
+from .morton import morton3d, morton3d_invert, packbits
+from .image import (gaussian_blur, highpass, erode, resize_bilinear,
+                    edge_dilation)
+
+__all__ = [
+    "trunc_exp", "sh_encode", "Tonemapping",
+    "grid_sample_2d", "grid_sample_3d",
+    "HashGridConfig", "hash_grid_init", "hash_grid_encode",
+    "morton3d", "morton3d_invert", "packbits",
+    "gaussian_blur", "highpass", "erode", "resize_bilinear", "edge_dilation",
+]

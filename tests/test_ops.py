@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvedit_tpu.ops import (
+    trunc_exp, sh_encode, Tonemapping, grid_sample_2d, grid_sample_3d,
+    HashGridConfig, hash_grid_init, hash_grid_encode,
+    morton3d, morton3d_invert, packbits, highpass, erode, edge_dilation,
+)
+
+
+def test_trunc_exp_forward_and_grad():
+    x = jnp.array([-20.0, 0.0, 1.0, 20.0])
+    np.testing.assert_allclose(trunc_exp(x), np.exp(x), rtol=1e-6)
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    # gradient is clamped at exp(15)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(g[-1], np.exp(15.0), rtol=1e-5)
+
+
+def test_sh_encode_orthonormal_dc():
+    # constant term = 1/sqrt(4pi)
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    out = sh_encode(d, degree=4)
+    assert out.shape == (1, 16)
+    np.testing.assert_allclose(out[0, 0], 1 / np.sqrt(4 * np.pi), rtol=1e-6)
+    # grad exists
+    g = jax.grad(lambda v: sh_encode(v, 4).sum())(d)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sh_encode_integrates_to_identity():
+    # E[Y_i Y_j] over the sphere = delta_ij / (4 pi); check via Monte Carlo
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(200000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    y = np.asarray(sh_encode(jnp.asarray(v), degree=3))
+    gram = 4 * np.pi * (y.T @ y) / len(v)
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+def test_tonemapping_roundtrip():
+    tm = Tonemapping()
+    x = jnp.linspace(-8.0, 2.5, 100)
+    y = tm.lut(x)
+    x2 = tm.inverse_lut(y)
+    np.testing.assert_allclose(x2, x, atol=1e-4)
+    # smooth vs lut agree at knots
+    np.testing.assert_allclose(tm.lut(tm.lut_x), tm.lut_y, atol=1e-6)
+    # linear mode
+    lin = jnp.array([0.01, 0.5, 1.0, 4.0])
+    np.testing.assert_allclose(
+        tm.inverse_lut(tm.lut(lin, input_mode="linear"), output_mode="linear"),
+        lin, rtol=1e-3)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_2d_matches_torch(align_corners, padding_mode):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(2, 3, 8, 11)).astype(np.float32)
+    grid = (rng.random(size=(2, 5, 7, 2)).astype(np.float32) * 2.4 - 1.2)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(grid), mode="bilinear",
+        padding_mode=padding_mode, align_corners=align_corners).numpy()
+    out = grid_sample_2d(jnp.asarray(img), jnp.asarray(grid),
+                         padding_mode=padding_mode, align_corners=align_corners)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_3d_matches_torch(align_corners, padding_mode):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(2, 4, 5, 6, 7)).astype(np.float32)
+    grid = (rng.random(size=(2, 3, 4, 5, 3)).astype(np.float32) * 2.4 - 1.2)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(vol), torch.from_numpy(grid), mode="bilinear",
+        padding_mode=padding_mode, align_corners=align_corners).numpy()
+    out = grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
+                         padding_mode=padding_mode, align_corners=align_corners)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_grid_sample_second_order_grad():
+    # d2/dgrid2 exists and is finite (the reason the reference needs a
+    # custom CUDA extension; free here).
+    img = jnp.arange(16.0).reshape(1, 1, 4, 4)
+    grid = jnp.zeros((1, 1, 1, 2)) + 0.1
+
+    def f(g):
+        return grid_sample_2d(img, g, align_corners=True).sum()
+
+    h = jax.hessian(f)(grid)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_hash_grid_encode_shapes_and_interp():
+    cfg = HashGridConfig(n_levels=4, base_resolution=4, max_resolution=32)
+    key = jax.random.PRNGKey(0)
+    table = hash_grid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3))
+    out = hash_grid_encode(table, x, cfg)
+    assert out.shape == (100, cfg.out_dim)
+    # continuity: nearby points give nearby features
+    eps = 1e-5
+    out2 = hash_grid_encode(table, x + eps, cfg)
+    assert float(jnp.max(jnp.abs(out - out2))) < 1e-3
+    # grads flow to the table
+    g = jax.grad(lambda t: hash_grid_encode(t, x, cfg).sum())(table)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_hash_grid_dense_level_injective():
+    # coarse level must behave like a dense grid: distinct corners -> distinct
+    # features (no hash collisions when the dense grid fits the table)
+    cfg = HashGridConfig(n_levels=1, base_resolution=4, max_resolution=4,
+                         log2_hashmap_size=19)
+    table = hash_grid_init(jax.random.PRNGKey(0), cfg, scale=1.0)
+    # corner points
+    grid_pts = jnp.stack(jnp.meshgrid(*([jnp.linspace(0, 1, 5)] * 3),
+                                      indexing="ij"), axis=-1).reshape(-1, 3)
+    out = hash_grid_encode(table, grid_pts, cfg)
+    assert len(np.unique(np.asarray(out[:, 0]).round(6))) == 125
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(3)
+    coords = rng.integers(0, 1024, size=(1000, 3))
+    codes = morton3d(jnp.asarray(coords))
+    back = morton3d_invert(codes)
+    np.testing.assert_array_equal(back, coords)
+
+
+def test_packbits():
+    grid = jnp.arange(16.0)
+    bits = packbits(grid, thresh=7.5)
+    assert bits.shape == (2,)
+    assert int(bits[0]) == 0  # 0..7 all <= 7.5
+    assert int(bits[1]) == 255  # 8..15 all > 7.5
+
+
+def test_highpass_and_erode():
+    img = jnp.zeros((8, 8)).at[4, 4].set(1.0)
+    hp = highpass(img, sigma=1.0)
+    assert hp.shape == (8, 8)
+    m = jnp.zeros((8, 8)).at[2:6, 2:6].set(1.0)
+    e = erode(m, 3)
+    assert float(e[2, 2]) == 0.0 and float(e[3, 3]) == 1.0
+
+
+def test_edge_dilation_fills():
+    img = jnp.zeros((16, 16, 3))
+    mask = jnp.zeros((16, 16)).at[8, 8].set(1.0)
+    img = img.at[8, 8].set(jnp.array([1.0, 0.5, 0.25]))
+    out = edge_dilation(img, mask, n_iters=16)
+    np.testing.assert_allclose(out[0, 0], [1.0, 0.5, 0.25], atol=1e-5)
