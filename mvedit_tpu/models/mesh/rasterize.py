@@ -1,0 +1,283 @@
+"""Differentiable tile-based triangle rasterizer (pure XLA, static shapes).
+
+TPU-native replacement for nvdiffrast (used throughout the reference's
+`lib/models/decoders/mesh_renderer/base_mesh_renderer.py:241-298,407-577`:
+rasterize, interpolate, texture, antialias). Instead of a CUDA/OpenGL
+pipeline with dynamic per-pixel triangle lists, the design is:
+
+1. **Project** to pixel space straight from OpenCV intrinsics (no OpenGL
+   projection matrix / y-flip dance; the reference builds one at
+   base_mesh_renderer.py:225-232 only because nvdiffrast needs GL clip
+   space).
+2. **Bin** triangles to fixed-size screen tiles with a sort: each triangle
+   emits up to SPAN^2 (tile, tri) pairs from its AABB (static cap);
+   triangles spanning more tiles go to a global "big" list checked by every
+   tile. One `lax.sort` + `searchsorted` turns the pairs into per-tile
+   fixed-capacity candidate lists — all shapes static.
+3. **Shade tiles**: vmap over tiles; each computes edge functions for
+   (tile_px^2 pixels x K candidates), z-tests, and picks the nearest
+   covering triangle. The winner's barycentrics are recomputed
+   differentiably (selection is stop-gradient, like nvdiffrast's discrete
+   coverage).
+4. **Soft silhouette**: alpha = clamp(0.5 + signed pixel distance to the
+   winning triangle's nearest edge) gives silhouette gradients w.r.t.
+   vertices (the role of nvdiffrast's antialias pass in mask losses).
+
+Gradients flow to vertex positions through the barycentric/edge math and to
+attributes through interpolation — `jax.grad` composes; no custom VJPs
+needed for v1.
+"""
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["RasterConfig", "project_mesh", "rasterize", "interpolate",
+           "render_mesh_attrs"]
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    height: int = 512
+    width: int = 512
+    tile: int = 16          # tile size in pixels
+    span: int = 4           # max tile span per axis before -> big list
+    k_per_tile: int = 256   # candidate capacity per tile
+    k_big: int = 64         # global big-triangle list capacity
+    tile_chunk: int = 256   # tiles processed per lax.map step
+    near: float = 0.01
+    cull_backface: bool = False  # MVEdit meshes are open-surface; keep both
+
+    @property
+    def tiles_x(self):
+        return (self.width + self.tile - 1) // self.tile
+
+    @property
+    def tiles_y(self):
+        return (self.height + self.tile - 1) // self.tile
+
+    @property
+    def num_tiles(self):
+        return self.tiles_x * self.tiles_y
+
+
+def project_mesh(verts, pose_w2c, intrinsics, near=0.01):
+    """World verts (V, 3) -> pixel-space (V, 3): (u_pix, v_pix, z_cam).
+
+    pose_w2c: (3, 4) world-to-camera (OpenCV). intrinsics: (4,) fx fy cx cy.
+    """
+    vc = jnp.einsum("ij,nj->ni", pose_w2c[:, :3], verts) + pose_w2c[:, 3]
+    z = jnp.maximum(vc[:, 2], near)
+    u = intrinsics[0] * vc[:, 0] / z + intrinsics[2]
+    v = intrinsics[1] * vc[:, 1] / z + intrinsics[3]
+    return jnp.stack([u, v, vc[:, 2]], axis=-1)
+
+
+def _edge(p, q, r):
+    """2D cross of (q-p, r-p); positive if r left of p->q."""
+    return ((q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
+    """Build per-tile candidate lists.
+
+    Returns (tile_tris (num_tiles, K) int32 tri ids, tile_valid bool mask,
+    big_tris (k_big,), big_valid)."""
+    F = faces.shape[0]
+    p = pts[faces]                      # (F, 3, 3)
+    fmin = jnp.min(p[..., :2], axis=1)  # (F, 2)
+    fmax = jnp.max(p[..., :2], axis=1)
+    behind = jnp.any(p[..., 2] <= cfg.near, axis=1)
+    offscreen = (fmax[:, 0] < 0) | (fmax[:, 1] < 0) \
+        | (fmin[:, 0] >= cfg.width) | (fmin[:, 1] >= cfg.height)
+    live = face_valid & (~behind) & (~offscreen)
+
+    t0 = jnp.clip(jnp.floor(fmin / cfg.tile).astype(jnp.int32), 0,
+                  jnp.asarray([cfg.tiles_x - 1, cfg.tiles_y - 1]))
+    t1 = jnp.clip(jnp.floor(fmax / cfg.tile).astype(jnp.int32), 0,
+                  jnp.asarray([cfg.tiles_x - 1, cfg.tiles_y - 1]))
+    span = t1 - t0 + 1                  # (F, 2)
+    is_big = live & ((span[:, 0] > cfg.span) | (span[:, 1] > cfg.span))
+    is_small = live & (~is_big)
+
+    # emit pairs
+    S = cfg.span
+    dx = jnp.arange(S)
+    dy = jnp.arange(S)
+    gx = t0[:, 0:1] + dx[None]          # (F, S)
+    gy = t0[:, 1:2] + dy[None]
+    in_x = dx[None] < span[:, 0:1]
+    in_y = dy[None] < span[:, 1:2]
+    tile_id = (gy[:, :, None] * cfg.tiles_x + gx[:, None, :])  # (F, S, S)
+    pair_valid = (is_small[:, None, None] & in_y[:, :, None]
+                  & in_x[:, None, :])
+    INVALID = jnp.int32(cfg.num_tiles)
+    keys = jnp.where(pair_valid, tile_id, INVALID).reshape(-1)
+    vals = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None, None],
+        tile_id.shape).reshape(-1)
+    keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+
+    starts = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="left")
+    ends = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="right")
+    idx = starts[:, None] + jnp.arange(cfg.k_per_tile)[None]
+    tile_valid = idx < ends[:, None]
+    idx = jnp.clip(idx, 0, keys.shape[0] - 1)
+    tile_tris = vals[idx]
+
+    # big list: top-k by is_big (stable order); pad when F < k_big
+    big_order = jnp.argsort(~is_big)  # False(=0, big) first
+    big_tris = big_order[: cfg.k_big].astype(jnp.int32)
+    pad_n = cfg.k_big - big_tris.shape[0]
+    if pad_n > 0:
+        big_tris = jnp.pad(big_tris, (0, pad_n))
+    big_valid = is_big[big_tris] & (jnp.arange(cfg.k_big) < F)
+    return tile_tris, tile_valid, big_tris, big_valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rasterize(pts, faces, face_valid, cfg: RasterConfig):
+    """Rasterize. pts: (V, 3) pixel-space verts (u, v, z); faces: (F, 3).
+
+    Returns dict (all (H, W)): tri_id (int32, -1 miss), bary u/v
+    (perspective-correct, differentiable), z (camera depth), alpha_hard,
+    alpha (soft silhouette, differentiable).
+    """
+    tile_tris, tile_valid, big_tris, big_valid = _bin_triangles(
+        pts, faces, face_valid, cfg)
+    # append big list to every tile
+    cand = jnp.concatenate(
+        [tile_tris, jnp.broadcast_to(big_tris, (cfg.num_tiles, cfg.k_big))],
+        axis=1)
+    cand_valid = jnp.concatenate(
+        [tile_valid, jnp.broadcast_to(big_valid, (cfg.num_tiles, cfg.k_big))],
+        axis=1)
+
+    tri_p = pts[faces]  # (F, 3, 3)
+    ts = cfg.tile
+
+    def shade_tile(args):
+        tri_ids, valid, tile_idx = args   # (K,), (K,), scalar
+        K = tri_ids.shape[0]
+        ty = tile_idx // cfg.tiles_x
+        tx = tile_idx % cfg.tiles_x
+        px = tx * ts + jnp.arange(ts) + 0.5   # pixel centers x: (ts,)
+        py = ty * ts + jnp.arange(ts) + 0.5
+        q = jnp.stack(jnp.meshgrid(px, py, indexing="xy"), -1)  # (ts, ts, 2)
+        q = q.reshape(-1, 1, 2)                                  # (P, 1, 2)
+
+        p = tri_p[tri_ids]                     # (K, 3, 3)
+        a, b, c = p[:, 0], p[:, 1], p[:, 2]    # (K, 3)
+        area = _edge(a[None, :, :2], b[None, :, :2], c[None, :, :2])  # (1, K)
+        w0 = _edge(b[None, :, :2], c[None, :, :2], q)  # (P, K)
+        w1 = _edge(c[None, :, :2], a[None, :, :2], q)
+        w2 = _edge(a[None, :, :2], b[None, :, :2], q)
+        sgn = jnp.sign(area)
+        if cfg.cull_backface:
+            face_ok = area > 1e-12
+        else:
+            face_ok = jnp.abs(area) > 1e-12
+            w0, w1, w2 = w0 * sgn, w1 * sgn, w2 * sgn
+            area = jnp.abs(area)
+        covered = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & face_ok & valid[None]
+        inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+        b0 = w0 * inv_area
+        b1 = w1 * inv_area
+        b2 = w2 * inv_area
+        # screen-space depth interp of 1/z (perspective-correct z test)
+        inv_z = (b0 / a[None, :, 2] + b1 / b[None, :, 2]
+                 + b2 / c[None, :, 2])
+        depth_key = jnp.where(covered, -inv_z, jnp.inf)  # nearest = max 1/z
+        best = jnp.argmin(depth_key, axis=1)             # (P,)
+        hit = jnp.take_along_axis(covered, best[:, None], axis=1)[:, 0]
+        best = jax.lax.stop_gradient(best)
+
+        # recompute winner barycentrics differentiably
+        wt = tri_ids[best]                                # (P,)
+        pw = tri_p[wt]                                    # (P, 3, 3)
+        aw, bw, cw = pw[:, 0], pw[:, 1], pw[:, 2]
+        qp = q[:, 0]                                      # (P, 2)
+        area_w = _edge(aw[:, :2], bw[:, :2], cw[:, :2])
+        sgn_w = jnp.where(cfg.cull_backface, 1.0, jnp.sign(area_w))
+        area_w = area_w * sgn_w
+        w0w = _edge(bw[:, :2], cw[:, :2], qp) * sgn_w
+        w1w = _edge(cw[:, :2], aw[:, :2], qp) * sgn_w
+        w2w = _edge(aw[:, :2], bw[:, :2], qp) * sgn_w
+        inv_area_w = 1.0 / jnp.where(jnp.abs(area_w) < 1e-12, 1e-12, area_w)
+        b0w, b1w, b2w = (w0w * inv_area_w, w1w * inv_area_w,
+                         w2w * inv_area_w)
+        # perspective-correct attribute barycentrics
+        iz0, iz1, iz2 = 1.0 / aw[:, 2], 1.0 / bw[:, 2], 1.0 / cw[:, 2]
+        denom = b0w * iz0 + b1w * iz1 + b2w * iz2
+        u = b1w * iz1 / denom
+        v = b2w * iz2 / denom
+        zpix = 1.0 / denom
+
+        # soft silhouette: signed pixel distance to nearest edge of winner
+        def edge_dist(pa, pb):
+            e = pb[:, :2] - pa[:, :2]
+            n = jnp.stack([-e[:, 1], e[:, 0]], -1) * sgn_w[:, None]
+            nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+            d = jnp.sum((qp - pa[:, :2]) * n / jnp.clip(nn, 1e-12, None), -1)
+            return d
+        d_edge = jnp.minimum(
+            jnp.minimum(edge_dist(aw, bw), edge_dist(bw, cw)),
+            edge_dist(cw, aw))
+        alpha_soft = jnp.clip(0.5 + d_edge, 0.0, 1.0) * hit
+
+        tri_out = jnp.where(hit, wt, -1)
+        return (tri_out.reshape(ts, ts),
+                jnp.stack([u, v], -1).reshape(ts, ts, 2) * hit.reshape(ts, ts, 1),
+                (zpix * hit).reshape(ts, ts),
+                hit.reshape(ts, ts).astype(jnp.float32),
+                alpha_soft.reshape(ts, ts))
+
+    n_chunks = max(cfg.num_tiles // cfg.tile_chunk, 1)
+    tri_id, bary, z, hard, soft = jax.lax.map(
+        shade_tile,
+        (cand.reshape(cfg.num_tiles, -1),
+         cand_valid.reshape(cfg.num_tiles, -1),
+         jnp.arange(cfg.num_tiles, dtype=jnp.int32)),
+        batch_size=min(cfg.tile_chunk, cfg.num_tiles))
+    del n_chunks
+
+    def detile(x):
+        # (num_tiles, ts, ts, ...) -> (H, W, ...)
+        extra = x.shape[3:]
+        x = x.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, *extra)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(cfg.tiles_y * ts, cfg.tiles_x * ts, *extra)[
+            : cfg.height, : cfg.width]
+
+    return {"tri_id": detile(tri_id), "bary": detile(bary),
+            "z": detile(z), "alpha_hard": detile(hard),
+            "alpha": detile(soft)}
+
+
+def interpolate(attr, rast, faces):
+    """Per-vertex attributes (V, C) -> per-pixel (H, W, C) using the
+    perspective-correct barycentrics (nvdiffrast.interpolate analog)."""
+    tri = jnp.maximum(rast["tri_id"], 0)
+    f = faces[tri]                      # (H, W, 3)
+    u = rast["bary"][..., 0:1]
+    v = rast["bary"][..., 1:2]
+    a0 = attr[f[..., 0]]
+    a1 = attr[f[..., 1]]
+    a2 = attr[f[..., 2]]
+    out = a0 * (1 - u - v) + a1 * u + a2 * v
+    return out * (rast["tri_id"] >= 0)[..., None]
+
+
+def render_mesh_attrs(verts, faces, face_valid, pose_w2c, intrinsics,
+                      cfg: RasterConfig, attrs=None):
+    """Convenience: project + rasterize + interpolate a dict of attrs."""
+    pts = project_mesh(verts, pose_w2c, intrinsics, cfg.near)
+    rast = rasterize(pts, faces, face_valid, cfg)
+    out = dict(rast)
+    if attrs:
+        for name, a in attrs.items():
+            out[name] = interpolate(a, rast, faces)
+    return out

@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvedit_tpu.models.mesh.dmtet import build_grid_tets, marching_tets
+from mvedit_tpu.models.mesh.rasterize import (
+    RasterConfig, project_mesh, rasterize, interpolate)
+from mvedit_tpu.models.mesh.container import Mesh
+
+
+# --------------------------- DMTet ---------------------------------------
+
+def test_build_grid_tets_topology():
+    grid = build_grid_tets(8, crop_sphere=False)
+    assert grid.tets.shape[1] == 4
+    assert grid.tets.shape[0] == 8 ** 3 * 6
+    # every tet edge maps to a unique edge
+    assert grid.tet_edge_idx.max() == grid.unique_edges.shape[0] - 1
+
+
+def test_marching_tets_sphere():
+    grid = build_grid_tets(16, crop_sphere=False)
+    r = 0.6
+    sdf = r - jnp.linalg.norm(jnp.asarray(grid.verts), axis=-1)
+    out = marching_tets(grid, sdf)
+    verts = np.asarray(out["verts"])
+    vmask = np.asarray(out["vert_mask"])
+    fmask = np.asarray(out["face_mask"])
+    assert fmask.sum() > 100
+    # crossing vertices lie near the sphere
+    d = np.linalg.norm(verts[vmask], axis=-1)
+    np.testing.assert_allclose(d, r, atol=0.08)
+    # all valid faces reference crossing vertices
+    faces = np.asarray(out["faces"])[fmask]
+    assert vmask[faces.reshape(-1)].all()
+
+
+def test_marching_tets_grad_flows_to_sdf():
+    grid = build_grid_tets(8, crop_sphere=False)
+
+    def loss(sdf):
+        out = marching_tets(grid, sdf)
+        # mean z of crossing verts (masked)
+        m = out["vert_mask"].astype(jnp.float32)
+        return jnp.sum(out["verts"][:, 2] * m) / jnp.clip(m.sum(), 1, None)
+
+    sdf = 0.5 - jnp.linalg.norm(jnp.asarray(grid.verts), axis=-1)
+    g = jax.grad(loss)(sdf)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_marching_tets_deform():
+    grid = build_grid_tets(8, crop_sphere=False)
+    sdf = 0.5 - jnp.linalg.norm(jnp.asarray(grid.verts), axis=-1)
+    out0 = marching_tets(grid, sdf)
+    shift = jnp.full_like(jnp.asarray(grid.verts), 0.01)
+    out1 = marching_tets(grid, sdf, deform=shift)
+    m = np.asarray(out0["vert_mask"])
+    delta = np.asarray(out1["verts"] - out0["verts"])[m]
+    np.testing.assert_allclose(delta, 0.01, atol=1e-5)
+
+
+# --------------------------- rasterizer ----------------------------------
+
+def _simple_cam():
+    # camera at origin looking +z; object at z=2
+    pose_w2c = jnp.asarray(np.concatenate(
+        [np.eye(3), np.zeros((3, 1))], axis=1), jnp.float32)
+    intr = jnp.asarray([64.0, 64.0, 32.0, 32.0])
+    return pose_w2c, intr
+
+
+CFG = RasterConfig(height=64, width=64, tile=16, k_per_tile=32, k_big=8,
+                   tile_chunk=16)
+
+
+def test_rasterize_single_triangle():
+    pose, intr = _simple_cam()
+    verts = jnp.asarray([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0],
+                         [0.0, 0.5, 2.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    pts = project_mesh(verts, pose, intr)
+    out = rasterize(pts, faces, jnp.asarray([True]), CFG)
+    alpha = np.asarray(out["alpha_hard"])
+    # centroid pixel covered, corners not
+    assert alpha[32, 32] == 1.0
+    assert alpha[0, 0] == 0.0
+    assert 100 < alpha.sum() < 64 * 64 / 2
+    # depth at hits equals 2
+    z = np.asarray(out["z"])
+    np.testing.assert_allclose(z[alpha > 0], 2.0, atol=1e-3)
+
+
+def test_rasterize_occlusion():
+    pose, intr = _simple_cam()
+    verts = jnp.asarray([
+        [-1.0, -1.0, 3.0], [1.0, -1.0, 3.0], [0.0, 1.0, 3.0],   # far
+        [-0.2, -0.2, 1.5], [0.2, -0.2, 1.5], [0.0, 0.2, 1.5],   # near
+    ])
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    pts = project_mesh(verts, pose, intr)
+    out = rasterize(pts, faces, jnp.asarray([True, True]), CFG)
+    assert int(out["tri_id"][32, 32]) == 1  # near triangle wins at center
+    z = np.asarray(out["z"])
+    assert abs(z[32, 32] - 1.5) < 1e-3
+
+
+def test_interpolate_linear_attr():
+    pose, intr = _simple_cam()
+    verts = jnp.asarray([[-1.0, -1.0, 2.0], [1.0, -1.0, 2.0],
+                         [0.0, 1.5, 2.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    pts = project_mesh(verts, pose, intr)
+    rast = rasterize(pts, faces, jnp.asarray([True]), CFG)
+    # attribute = world x coordinate; interpolation must reproduce it
+    attr = verts[:, 0:1]
+    out = interpolate(attr, rast, faces)
+    alpha = np.asarray(rast["alpha_hard"])
+    ys, xs = np.nonzero(alpha)
+    # x_world = (u_pix - cx)/fx * z
+    expect = (xs + 0.5 - 32.0) / 64.0 * 2.0
+    got = np.asarray(out)[ys, xs, 0]
+    np.testing.assert_allclose(got, expect, atol=2e-2)
+
+
+def test_soft_alpha_gradient_wrt_verts():
+    pose, intr = _simple_cam()
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+
+    def coverage(verts):
+        pts = project_mesh(verts, pose, intr)
+        out = rasterize(pts, faces, jnp.asarray([True]), CFG)
+        return jnp.sum(out["alpha"])
+
+    verts = jnp.asarray([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0],
+                         [0.0, 0.5, 2.0]])
+    g = jax.grad(coverage)(verts)
+    assert np.isfinite(np.asarray(g)).all()
+    # growing the triangle (moving v2 up) must increase coverage
+    assert float(g[2, 1]) > 0.1
+
+
+def test_rasterize_big_triangle_fallback():
+    """A screen-filling triangle exceeds the span cap -> big list path."""
+    pose, intr = _simple_cam()
+    verts = jnp.asarray([[-5.0, -5.0, 2.0], [5.0, -5.0, 2.0],
+                         [0.0, 8.0, 2.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    pts = project_mesh(verts, pose, intr)
+    out = rasterize(pts, faces, jnp.asarray([True]), CFG)
+    assert float(out["alpha_hard"].mean()) > 0.95
+
+
+# --------------------------- Mesh container -------------------------------
+
+def test_mesh_obj_roundtrip(tmp_path):
+    m = Mesh(v=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+             f=np.array([[0, 1, 2]], np.int32))
+    m.auto_normal()
+    p = str(tmp_path / "tri.obj")
+    m.write_obj(p)
+    m2 = Mesh.load(p)
+    np.testing.assert_allclose(m2.v, m.v)
+    np.testing.assert_array_equal(m2.f, m.f)
+
+
+def test_mesh_glb_roundtrip(tmp_path):
+    m = Mesh(v=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+             f=np.array([[0, 1, 2]], np.int32))
+    m.auto_normal()
+    m.auto_uv()
+    m.albedo = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    p = str(tmp_path / "tri.glb")
+    m.write_glb(p)
+    m2 = Mesh.load(p)
+    assert m2.f.shape == (1, 3)
+    assert m2.albedo is not None and m2.albedo.shape == (32, 32, 3)
+    np.testing.assert_allclose(
+        np.sort(m2.v.reshape(-1)), np.sort(m.v[m.f.reshape(-1)].reshape(-1)),
+        atol=1e-6)
+
+
+def test_mesh_auto_uv_unique_cells():
+    m = Mesh(v=np.random.default_rng(1).random((12, 3)).astype(np.float32),
+             f=np.arange(12, dtype=np.int32).reshape(4, 3))
+    m.auto_uv()
+    assert m.vt.shape == (12, 2)
+    assert (m.vt >= 0).all() and (m.vt <= 1).all()
+
+
+def test_mesh_auto_size():
+    m = Mesh(v=np.array([[10, 10, 10], [12, 10, 10], [10, 13, 10]],
+                        np.float32),
+             f=np.array([[0, 1, 2]], np.int32))
+    m.auto_size(0.9)
+    assert np.linalg.norm(m.v, axis=-1).max() == pytest.approx(0.9, rel=1e-5)
