@@ -1,0 +1,210 @@
+"""Re-texturing pipeline: frozen geometry, optimize only the albedo field.
+
+TPU-native rebuild of `MVEditTexturePipeline`
+(`lib/pipelines/mvedit_texture_pipeline.py:53-544`): the 3D state is just the
+hash-grid *albedo field* rendered through the fixed input mesh. Per timestep
+`texture_optim` (:93-172) fits the field to the denoised views with pixel L1
+(+ optional LPIPS) weighted by per-view normal-cos maps
+(`camera_dense_weighting`, :40-50); final bake writes the UV atlas.
+
+Also covers the texture super-resolution pipeline's core
+(`mvedit_texture_superres_pipeline.py`): same machinery at a fixed 6+2-view
+rig with the texture optimized only at the final step.
+"""
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.diffusion import schedulers as S
+from ..models.fields import INGPConfig, ingp_init, ingp_point_decode
+from ..models.mesh import (RasterConfig, render_views, bake_texture, Mesh)
+from ..models import losses as L
+from ..ops.image import edge_dilation
+from ..utils.geometry import normalize_depth
+
+__all__ = ["TextureConfig", "TexturePipeline", "make_texture_fit"]
+
+
+@dataclass(frozen=True)
+class TextureConfig:
+    num_views: int = 32
+    render_size: int = 512
+    diffusion_steps: int = 12
+    denoising_strength: float = 0.7
+    guidance_scale: float = 7.0
+    tile_weight: float = 1.0
+    depth_weight: float = 0.5
+    n_inverse_steps: int = 48
+    lr: float = 0.01
+    patch_rgb_weight: float = 0.0
+    blend_mode: str = "dynamic"
+    ingp: INGPConfig = field(default_factory=INGPConfig)
+    mode: str = "2-pass"
+
+
+def camera_dense_weighting(normal_maps, poses, alpha):
+    """Per-pixel weight = max(cos(normal, view_dir_to_cam), 0) * alpha
+    (mvedit_texture_pipeline.py:40-50). normal_maps: (N, H, W, 3) world."""
+    cam_dir = poses[:, :3, 3]
+    cam_dir = cam_dir / jnp.clip(
+        jnp.linalg.norm(cam_dir, axis=-1, keepdims=True), 1e-12, None)
+    cosw = jnp.clip(jnp.sum(
+        normal_maps * cam_dir[:, None, None, :], axis=-1, keepdims=True),
+        0.0, None)
+    return cosw * alpha
+
+
+def make_texture_fit(color_fn, cfg: TextureConfig, geom, lpips_params=None):
+    """Jitted albedo-field fit against target views on the FROZEN mesh.
+
+    geom: precomputed per-view render geometry dict with xyz (N,H,W,3),
+    alpha (N,H,W,1), weight (N,H,W,1) — rendering the frozen mesh once
+    outside the loop and reusing xyz makes each fit step pure field
+    evaluation (big MXU matmuls), no rasterization.
+    """
+    optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
+
+    def loss_fn(params, targets):
+        rgb = color_fn(params, geom["xyz"])
+        rgb = rgb * geom["alpha"] + 1.0 * (1 - geom["alpha"])
+        w = geom["weight"] * targets.get("cam_weights_px", 1.0)
+        total = L.l1_loss(rgb, targets["images"], weight=w) * 4.5
+        if lpips_params is not None and cfg.patch_rgb_weight > 0:
+            total = total + L.lpips_apply(
+                lpips_params, rgb, targets["images"]) * cfg.patch_rgb_weight
+        return total
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def fit(params, opt_state, targets):
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, targets)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses_hist = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.n_inverse_steps)
+        return params, opt_state, losses_hist
+
+    return fit, optimizer
+
+
+class TexturePipeline:
+    """Denoise <-> texture_optim alternation on a fixed mesh."""
+
+    def __init__(self, models, cfg: TextureConfig):
+        self.m = models
+        self.cfg = cfg
+        self.schedule = models.schedule
+
+    def _render_geometry(self, mesh: Mesh, poses, intrinsics):
+        """Render the frozen mesh once: xyz/alpha/normal per view."""
+        rc = RasterConfig(height=self.cfg.render_size,
+                          width=self.cfg.render_size)
+        out = render_views(
+            jnp.asarray(mesh.v), jnp.asarray(mesh.f),
+            jnp.ones((len(mesh.f),), bool), poses, intrinsics, rc)
+        weight = camera_dense_weighting(out["normal"], poses, out["alpha"])
+        return {"xyz": out["xyz"], "alpha": out["alpha"],
+                "normal": out["normal"], "depth": out["depth"],
+                "weight": weight}
+
+    def __call__(self, mesh: Mesh, poses, intrinsics, prompt_embeds,
+                 negative_embeds, key, init_albedo_fn=None):
+        cfg = self.cfg
+        sch = self.schedule
+        N = cfg.num_views
+        vae = self.m.vae
+
+        vae_enc = jax.jit(lambda p, x: vae.apply({"params": p}, x,
+                                                 method=vae.encode))
+        vae_dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
+                                                 method=vae.decode))
+        from .denoise import DenoiseModels, make_noise_pred_2pass
+        dm = DenoiseModels(unet=self.m.unet,
+                           controlnets=tuple(self.m.controlnets),
+                           num_views=N)
+        p1, p2 = make_noise_pred_2pass(dm)
+
+        geom = self._render_geometry(mesh, poses, intrinsics)
+        ctrl_depths = normalize_depth(
+            geom["depth"], geom["alpha"])[..., None].repeat(3, -1)
+
+        key, k0 = jax.random.split(key)
+        params = ingp_init(k0, cfg.ingp)
+        color_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)[1]  # noqa
+        fit, optimizer = make_texture_fit(color_fn, cfg, geom)
+        opt_state = optimizer.init(params)
+
+        def render_now(params):
+            rgb = color_fn(params, geom["xyz"])
+            return jnp.clip(
+                rgb * geom["alpha"] + (1 - geom["alpha"]), 0, 1)
+
+        # initial target: input mesh albedo rendered, else field init
+        timesteps = S.make_timesteps(cfg.diffusion_steps,
+                                     sch.num_train_timesteps, "trailing")
+        n_keep = int(len(timesteps) * (1 - cfg.denoising_strength))
+        timesteps = timesteps[n_keep:]
+
+        init_rgb = render_now(params) if init_albedo_fn is None else \
+            init_albedo_fn(geom)
+        lat0 = vae_enc(self.m.vae_params, init_rgb * 2 - 1)
+        key, kn = jax.random.split(key)
+        noise = jax.random.normal(kn, lat0.shape)
+        latents = S.add_noise(sch, lat0, noise,
+                              jnp.full((N,), int(timesteps[0])))
+        solver_state = S.SolverState.init(latents.shape)
+        targets = {"images": init_rgb}
+
+        for i, t in enumerate(timesteps):
+            t_vec = jnp.full((2 * N,), int(t), jnp.int32)
+            lat2 = jnp.concatenate([latents, latents], 0)
+            embeds = jnp.concatenate([negative_embeds, prompt_embeds], 0)
+            depths2 = jnp.concatenate([ctrl_depths, ctrl_depths], 0)
+            eps, enc_state, p1_res = p1(
+                self.m.unet_params, self.m.cn_params, lat2, t_vec, embeds,
+                depths2, cfg.depth_weight, cfg.guidance_scale)
+            sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
+            x0_lat = (latents - sn * eps) / sa
+            targets["images"] = jnp.clip(
+                (vae_dec(self.m.vae_params, x0_lat) + 1) / 2, 0, 1)
+
+            params, opt_state, _ = fit(params, opt_state, targets)
+            renders = render_now(params)
+
+            tiles2 = jnp.concatenate([renders, renders], 0)
+            eps_unet = p2(self.m.unet_params, self.m.cn_params, lat2,
+                          enc_state, p1_res, t_vec, embeds, tiles2, depths2,
+                          cfg.tile_weight, cfg.depth_weight,
+                          cfg.guidance_scale)
+            lat_3d = vae_enc(self.m.vae_params, renders * 2 - 1)
+            eps_3d = (latents - sa * lat_3d) / sn
+            bw = (1.0 - sa) if cfg.blend_mode == "dynamic" else 0.5
+            eps_final = bw * eps_3d + (1 - bw) * eps_unet
+            t_prev = int(timesteps[i + 1]) if i + 1 < len(timesteps) else -1
+            latents, solver_state = S.dpmsolver_step(
+                sch, latents, eps_final, jnp.asarray(int(t)),
+                jnp.asarray(t_prev), solver_state)
+
+        # bake
+        out_mesh = Mesh(v=mesh.v.copy(), f=mesh.f.copy(), vn=mesh.vn,
+                        fn=mesh.fn, vt=mesh.vt, ft=mesh.ft)
+        if out_mesh.vt is None:
+            out_mesh.auto_uv()
+        acfg = RasterConfig(height=1024, width=1024, tile=16,
+                            k_per_tile=64, k_big=32)
+        rgb, mask = bake_texture(
+            jnp.asarray(out_mesh.v), jnp.asarray(out_mesh.f),
+            jnp.ones((len(out_mesh.f),), bool), jnp.asarray(out_mesh.vt),
+            jnp.asarray(out_mesh.ft),
+            lambda xyz: color_fn(params, xyz), acfg)
+        rgb = edge_dilation(rgb, mask, n_iters=16)
+        out_mesh.albedo = np.asarray(jnp.clip(rgb, 0, 1))
+        return {"mesh": out_mesh, "field_params": params,
+                "renders": render_now(params)}
