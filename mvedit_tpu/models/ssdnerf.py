@@ -1,0 +1,191 @@
+"""SSDNeRF: multi-scene triplane NeRF + code diffusion (the trainable stack).
+
+TPU-native rebuild of `lib/models/autoencoders/multiscene_nerf.py:34-268` +
+`lib/models/diffusions/../diffusion_nerf.py:23-216`:
+
+- per-scene triplane codes live in a HOST cache (`SceneCodeCache`, fp16 like
+  the reference's 16-bit cache configs) with per-scene Adam moments; batches
+  are staged to device each step (the reference shards this cache across
+  DDP ranks — here the single jit program shards the scene batch over the
+  mesh's dp axis instead);
+- `make_train_step` builds ONE jitted step doing the reference's
+  `train_step` (:196-268): (a) diffusion v-pred loss on (activated) codes ->
+  denoiser AdamW update; (b) per-scene code render loss (+ prior grad from
+  the diffusion loss) -> code Adam update; (c) decoder render loss ->
+  decoder Adam update;
+- code activation: `TanhCode` (base_nerf.py:24-76) scale 2: code_activated =
+  tanh(code / 2) * 2 .
+
+The renderer is the shared static-shape volume renderer; rays are sampled
+on host into static (B, R) buffers.
+"""
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .triplane import TriPlaneConfig, triplane_point_decode
+from .volume_renderer import RenderConfig, render_rays
+from . import gaussian_diffusion as GD
+from .diffusion import schedulers as S
+
+__all__ = ["SSDNeRFConfig", "SceneCodeCache", "make_train_step",
+           "tanh_code", "tanh_code_inverse"]
+
+
+def tanh_code(code, scale=2.0):
+    return jnp.tanh(code / scale) * scale
+
+
+def tanh_code_inverse(act, scale=2.0):
+    return jnp.arctanh(jnp.clip(act / scale, -0.999999, 0.999999)) * scale
+
+
+@dataclass(frozen=True)
+class SSDNeRFConfig:
+    code_shape: tuple = (3, 16, 80, 80)   # activated feature triplane
+    latent_shape: tuple = (3, 12, 40, 40)  # diffusion latent (StableSSDNeRF)
+    triplane: TriPlaneConfig = field(default_factory=TriPlaneConfig)
+    render: RenderConfig = field(default_factory=lambda: RenderConfig(
+        num_samples=96, bound=0.5))
+    n_rays: int = 4096
+    code_lr: float = 0.04
+    decoder_lr: float = 1e-3
+    denoiser_lr: float = 1e-4
+    diffusion: GD.GaussianDiffusionConfig = field(
+        default_factory=GD.GaussianDiffusionConfig)
+
+
+class SceneCodeCache:
+    """Host-side per-scene code + Adam moment cache
+    (multiscene_nerf.py:46-194 semantics, fp16 storage)."""
+
+    def __init__(self, num_scenes, code_shape, dtype=np.float16):
+        self.codes = np.zeros((num_scenes, *code_shape), dtype)
+        self.m = np.zeros_like(self.codes)
+        self.v = np.zeros_like(self.codes)
+        self.steps = np.zeros((num_scenes,), np.int32)
+
+    def gather(self, ids):
+        return (jnp.asarray(self.codes[ids], jnp.float32),
+                jnp.asarray(self.m[ids], jnp.float32),
+                jnp.asarray(self.v[ids], jnp.float32),
+                jnp.asarray(self.steps[ids]))
+
+    def scatter(self, ids, codes, m, v, steps):
+        self.codes[ids] = np.asarray(codes, self.codes.dtype)
+        self.m[ids] = np.asarray(m, self.m.dtype)
+        self.v[ids] = np.asarray(v, self.v.dtype)
+        self.steps[ids] = np.asarray(steps)
+
+    def save(self, path):
+        np.savez(path, codes=self.codes, m=self.m, v=self.v,
+                 steps=self.steps)
+
+    @classmethod
+    def load(cls, path):
+        d = np.load(path)
+        obj = cls.__new__(cls)
+        obj.codes, obj.m, obj.v, obj.steps = (
+            d["codes"], d["m"], d["v"], d["steps"])
+        return obj
+
+
+def _code_adam(codes, grads, m, v, steps, lr, b1=0.9, b2=0.99, eps=1e-8):
+    """Per-scene Adam on raw codes (batched over scene axis)."""
+    steps = steps + 1
+    m = b1 * m + (1 - b1) * grads
+    v = b2 * v + (1 - b2) * grads ** 2
+    t = steps.reshape((-1,) + (1,) * (codes.ndim - 1)).astype(jnp.float32)
+    mhat = m / (1 - b1 ** t)
+    vhat = v / (1 - b2 ** t)
+    codes = codes - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return codes, m, v, steps
+
+
+def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
+                    cfg: SSDNeRFConfig, schedule: S.NoiseSchedule,
+                    with_decoder_loss=True):
+    """Build the jitted SSDNeRF train step.
+
+    denoise_apply(params, x, t, cond) -> model out over the latent shape.
+    Returns step(state, batch, key) -> (state, metrics) where
+      state = {denoiser, denoiser_opt, decoder, decoder_opt,
+               codes, code_m, code_v, code_steps}
+      batch = {rays_o (B,R,3), rays_d (B,R,3), rgb (B,R,3), cond (any)}
+    """
+    denoiser_opt = optax.adamw(cfg.denoiser_lr, b1=0.9, b2=0.999,
+                               weight_decay=1e-2)
+    decoder_opt = optax.adam(cfg.decoder_lr)
+
+    def render_loss(decoder_params, codes_act, batch):
+        B, R, _ = batch["rays_o"].shape
+
+        def one_scene(code, ro, rd, rgb):
+            def decode(x):
+                s, c = triplane_point_decode(
+                    decoder_params, code, x.reshape(-1, 3),
+                    None, decoder_cfg, density_only=False)
+                return (s.reshape(x.shape[:-1]),
+                        c.reshape(*x.shape[:-1], 3))
+            out = render_rays(decode, ro, rd, cfg.render, bg_color=1.0)
+            return jnp.mean(jnp.abs(out["rgb"] - rgb))
+
+        losses = jax.vmap(one_scene)(codes_act, batch["rays_o"],
+                                     batch["rays_d"], batch["rgb"])
+        return jnp.mean(losses)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, key):
+        k1, k2 = jax.random.split(key)
+        codes = state["codes"]                 # raw latent codes (B, ...)
+        B = codes.shape[0]
+        metrics = {}
+
+        # --- (a) diffusion loss on codes -> denoiser update -------------
+        t = jax.random.randint(k1, (B,), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(k2, codes.shape)
+
+        def diff_loss_fn(dparams, codes):
+            return GD.training_loss(
+                schedule,
+                lambda x, tt, c: denoise_apply(dparams, x, tt, c),
+                codes, t, noise, cond=batch.get("cond"), cfg=cfg.diffusion)
+
+        (dloss, (dgrads, code_prior_grads)) = (
+            lambda l, g: (l, g))(*jax.value_and_grad(
+                diff_loss_fn, argnums=(0, 1))(state["denoiser"], codes))
+        updates, dopt = denoiser_opt.update(dgrads, state["denoiser_opt"],
+                                            state["denoiser"])
+        state["denoiser"] = optax.apply_updates(state["denoiser"], updates)
+        state["denoiser_opt"] = dopt
+        metrics["loss_diffusion"] = dloss
+
+        # --- (b) render loss -> code + decoder updates ------------------
+        if with_decoder_loss:
+            def rec_loss_fn(decoder_params, codes):
+                codes_act = tanh_code(codes)
+                return render_loss(decoder_params, codes_act, batch)
+
+            rloss, (decgrads, cgrads) = jax.value_and_grad(
+                rec_loss_fn, argnums=(0, 1))(state["decoder"], codes)
+            metrics["loss_render"] = rloss
+            updates, decopt = decoder_opt.update(
+                decgrads, state["decoder_opt"], state["decoder"])
+            state["decoder"] = optax.apply_updates(state["decoder"], updates)
+            state["decoder_opt"] = decopt
+            # code update mixes render grads with the diffusion prior grad
+            # (diffusion_nerf.py prior_grad mixing)
+            total_cgrads = cgrads + code_prior_grads
+            codes, m, v, steps = _code_adam(
+                codes, total_cgrads, state["code_m"], state["code_v"],
+                state["code_steps"], cfg.code_lr)
+            state.update(codes=codes, code_m=m, code_v=v, code_steps=steps)
+
+        return state, metrics
+
+    return step
