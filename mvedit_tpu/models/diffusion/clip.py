@@ -80,9 +80,12 @@ class CLIPLayer(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, d)
 
-        o = jax.nn.dot_product_attention(
-            split(q), split(k), split(v), is_causal=causal_mask is not None
-            and causal_mask)
+        from .attention import dot_product_attention as _dpa
+        if causal_mask:
+            o = jax.nn.dot_product_attention(
+                split(q), split(k), split(v), is_causal=True)
+        else:
+            o = _dpa(split(q), split(k), split(v))
         o = o.reshape(x.shape[0], x.shape[1], self.hidden)
         x = x + nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(o)
         h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)

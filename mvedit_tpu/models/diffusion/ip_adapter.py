@@ -55,7 +55,8 @@ class PerceiverAttention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head)
 
-        out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        from .attention import dot_product_attention
+        out = dot_product_attention(split(q), split(k), split(v))
         out = out.reshape(latents.shape[0], latents.shape[1], inner)
         return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
 

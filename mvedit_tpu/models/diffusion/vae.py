@@ -67,7 +67,8 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        out = jax.nn.dot_product_attention(
+        from .attention import dot_product_attention
+        out = dot_product_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
         out = out.reshape(B, H * W, C)
         out = nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)

@@ -79,7 +79,8 @@ class ViTBlock(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, d)
 
-        o = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        from ..diffusion.attention import dot_product_attention
+        o = dot_product_attention(split(q), split(k), split(v))
         o = o.reshape(x.shape)
         x = x + nn.Dense(self.dim, name="proj")(o)
         h = nn.LayerNorm(name="norm2")(x)
