@@ -39,12 +39,13 @@ def main():
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + 7.5 * (eps_c - eps_u)
 
-    out = denoise_step(params, x, t, ctx)
-    jax.block_until_ready(out)
+    # NOTE: block_until_ready does not synchronize through the axon tunnel;
+    # a scalar readback is the only honest timing barrier here.
+    float(jnp.sum(denoise_step(params, x, t, ctx)))
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
-        jax.block_until_ready(denoise_step(params, x, t, ctx))
+        float(jnp.sum(denoise_step(params, x, t, ctx)))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
         "metric": "6-view UNet CFG denoise steps/sec (512^2, joint attn)",

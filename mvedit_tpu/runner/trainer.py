@@ -55,7 +55,10 @@ class EmaHook(Hook):
             return
         src = {k: trainer.state[k] for k in self.keys}
         if self.ema is None:
-            self.ema = jax.tree_util.tree_map(lambda x: x, src)
+            # deep copy: the train step donates its input buffers, so
+            # aliasing them here would read deleted arrays next iteration
+            self.ema = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), src)
             return
         # rampup: early steps use a larger update fraction so the EMA tracks
         # the fast-moving young model, settling to `momentum`
@@ -122,7 +125,7 @@ class LogHook(Hook):
         self._t0 = time.time()
 
     def after_iter(self, trainer, metrics):
-        if trainer.step % self.interval:
+        if trainer.step % self.interval and trainer.step != 1:
             return
         row = {"step": trainer.step,
                "time": round(time.time() - self._t0, 2)}

@@ -1,0 +1,87 @@
+"""Integration tests for the CLI tools (synthetic data, few iters)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=2",
+           PYTHONPATH=REPO)
+
+
+def _make_srn_scene(root, name, n_views=3, size=16):
+    from PIL import Image
+    d = os.path.join(root, name)
+    os.makedirs(os.path.join(d, "rgb"))
+    os.makedirs(os.path.join(d, "pose"))
+    rng = np.random.default_rng(hash(name) % 2 ** 31)
+    for i in range(n_views):
+        Image.fromarray(
+            (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        ).save(os.path.join(d, "rgb", f"{i:06d}.png"))
+        pose = np.eye(4)
+        pose[2, 3] = -1.3
+        np.savetxt(os.path.join(d, "pose", f"{i:06d}.txt"),
+                   pose.reshape(1, 16))
+    with open(os.path.join(d, "intrinsics.txt"), "w") as f:
+        f.write(f"{size} {size / 2} {size / 2} 0\n0 0 0\n{size} {size}\n")
+
+
+@pytest.mark.slow
+def test_train_ssdnerf_cli(tmp_path):
+    data = str(tmp_path / "srn")
+    os.makedirs(data)
+    for i in range(4):
+        _make_srn_scene(data, f"scene{i}")
+    # tiny config
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(os.path.join(REPO, "configs", "ssdnerf_cars.py")) as f:
+        src = f.read()
+    src = src.replace("code_shape=(3, 16, 80, 80)",
+                      "code_shape=(3, 16, 8, 8)")
+    src = src.replace("latent_shape=(3, 12, 40, 40)",
+                      "latent_shape=(3, 12, 8, 8)")
+    src = src.replace("num_samples=96", "num_samples=8")
+    src = src.replace("n_rays=4096", "n_rays=32")
+    src = src.replace("batch_size=4", "batch_size=2")
+    src = src.replace('jnp.zeros((1, 3, 12, 40, 40))',
+                      'jnp.zeros((1, 3, 12, 8, 8))')
+    src = src.replace("ch: int = 128", "ch: int = 32")
+    with open(cfg_path, "w") as f:
+        f.write(src)
+    work = str(tmp_path / "work")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_ssdnerf.py"),
+         "--config", cfg_path, "--data", data, "--work-dir", work,
+         "--max-iters", "3"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(work, "scene_cache.npz"))
+    assert os.path.exists(os.path.join(work, "metrics.jsonl"))
+
+
+def test_generate_tets_cli(tmp_path):
+    out = str(tmp_path / "tets.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "generate_tets.py"),
+         "--resolution", "8", "--out", out],
+        env=ENV, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(out)
+    assert d["indices"].shape[1] == 4
+
+
+def test_glb_to_obj_cli(tmp_path):
+    from mvedit_tpu.models.mesh import Mesh
+    m = Mesh(v=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+             f=np.array([[0, 1, 2]], np.int32))
+    src = str(tmp_path / "a.glb")
+    m.write_glb(src)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "glb_to_obj.py"), src],
+        env=ENV, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "a.obj"))

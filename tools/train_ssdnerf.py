@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""SSDNeRF training CLI (the reference's train.py / tools/train.py analog).
+
+  python tools/train_ssdnerf.py --config configs/ssdnerf_cars.py \
+      --data /path/to/srn_cars --work-dir work_dirs/cars
+
+Single program over the local device mesh (no torch.distributed launcher:
+pjit shards the scene batch across devices; multi-host via jax.distributed
+when launched on a pod).
+"""
+import argparse
+import importlib.util
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_config(path):
+    spec = importlib.util.spec_from_file_location("config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--work-dir", default="work_dirs/ssdnerf")
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mvedit_tpu.datasets import ShapeNetSRN, ray_batch_iterator
+    from mvedit_tpu.models.ssdnerf import (SceneCodeCache, make_train_step,
+                                           SSDNeRFConfig)
+    from mvedit_tpu.models.triplane import triplane_init
+    from mvedit_tpu.models.diffusion import schedulers as S
+    from mvedit_tpu.runner.trainer import (Trainer, EmaHook, CheckpointHook,
+                                           LogHook)
+
+    cfg_mod = load_config(args.config)
+    cfg: SSDNeRFConfig = cfg_mod.ssdnerf_config
+    train_cfg = cfg_mod.train_config
+
+    dataset = ShapeNetSRN(args.data,
+                          caption_path=getattr(cfg_mod, "captions", None))
+    print(f"dataset: {len(dataset)} scenes")
+    cache = SceneCodeCache(len(dataset), cfg.latent_shape)
+
+    key = jax.random.PRNGKey(args.seed)
+    schedule = S.sd_schedule(prediction_type="v_prediction")
+    denoiser, denoise_apply, dparams = cfg_mod.build_denoiser(key)
+    decoder_params = triplane_init(key, cfg.triplane)
+    step_fn = make_train_step(denoise_apply, cfg.triplane, cfg, schedule)
+
+    state = {
+        "denoiser": dparams,
+        "denoiser_opt": optax.adamw(cfg.denoiser_lr,
+                                    weight_decay=1e-2).init(dparams),
+        "decoder": decoder_params,
+        "decoder_opt": optax.adam(cfg.decoder_lr).init(decoder_params),
+    }
+    start = 0
+    if args.resume and os.path.exists(args.work_dir):
+        restored, start = CheckpointHook.load(args.work_dir)
+        if restored:
+            state.update(restored)
+            print(f"resumed from step {start}")
+
+    B = train_cfg["batch_size"]
+    data = ray_batch_iterator(dataset, B, cfg.n_rays, seed=args.seed,
+                              skip_iter=start)
+
+    def wrapped_step(state, batch, k):
+        ids = batch.pop("scene_ids")
+        codes, m, v, steps = cache.gather(ids)
+        state = dict(state, codes=codes, code_m=m, code_v=v,
+                     code_steps=steps)
+        state, metrics = step_fn(state, batch, k)
+        cache.scatter(ids, state.pop("codes"), state.pop("code_m"),
+                      state.pop("code_v"), state.pop("code_steps"))
+        return state, metrics
+
+    hooks = [
+        EmaHook(keys=("denoiser",), interval=1),
+        LogHook(args.work_dir, interval=train_cfg.get("log_interval", 50)),
+        CheckpointHook(args.work_dir,
+                       interval=train_cfg.get("ckpt_interval", 2000)),
+    ]
+    trainer = Trainer(wrapped_step, state, data, hooks, key=key)
+    trainer.step = start
+    trainer.run(args.max_iters or train_cfg["max_iters"])
+    cache.save(os.path.join(args.work_dir, "scene_cache.npz"))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
