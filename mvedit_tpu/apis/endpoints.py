@@ -1,0 +1,316 @@
+"""Heavy endpoints (mixed into Adapter3DRunner).
+
+Rebuilds the remaining `run_*` surface of `lib/apis/adapter3d.py`:
+- `run_text_to_img` (:1052) — plain SD sampling;
+- `run_zero123plus` (:737) — image -> 6-view grid (+ mirrored passes,
+  proc_zero123plus :456-514);
+- `run_zero123plus_to_mesh` (:767) — pose estimation + MVEdit 3D pipeline;
+- `run_3d_to_3d` (:954) — load_init_mesh renders (adapter3d_mixin.py:21)
+  -> MVEdit 3D pipeline (instruct mode = extra ip2p ControlNet);
+- `run_stablessdnerf` (:1268) / `run_stablessdnerf_to_mesh` (:1347) —
+  text -> triplane sample -> preview / refine to mesh.
+"""
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cameras as C
+from ..models.diffusion import schedulers as S
+from ..models.mesh import RasterConfig, render_views, Mesh
+from ..ops.tonemapping import Tonemapping
+from ..utils import camera as cam_utils
+from ..utils.geometry import normalize_depth
+
+__all__ = ["EndpointsMixin"]
+
+
+class EndpointsMixin:
+    # ------------------------------------------------------------------
+    def run_text_to_img(self, prompt, negative_prompt="", seed=42,
+                        width=None, height=None, steps=24, cfg_scale=7.0):
+        """Plain SD text-to-image (adapter3d.py:1052-1081)."""
+        m = self.load_stable_diffusion()
+        width = width or (64 if self.tiny else 512)
+        height = height or (64 if self.tiny else 512)
+        pos, neg = self.encode_prompt(m, [prompt], [negative_prompt])
+        sch = m.schedule
+        key = jax.random.PRNGKey(seed)
+        # VAE downscale = 2^(n_blocks - 1)
+        ds = 2 ** (len(m.vae.cfg.block_out_channels) - 1)
+        lat = jax.random.normal(key, (1, height // ds, width // ds, 4))
+        timesteps = S.make_timesteps(steps, sch.num_train_timesteps,
+                                     "trailing")
+        state = S.SolverState.init(lat.shape)
+        unet = m.unet
+
+        @jax.jit
+        def step_fn(params, lat, t, state, t_prev):
+            lat2 = jnp.concatenate([lat, lat], 0)
+            t2 = jnp.full((2,), t, jnp.int32)
+            e2 = jnp.concatenate([neg, pos], 0)
+            eps = unet.apply({"params": params} if "params" not in params
+                             else params, lat2, t2, e2)
+            eu, ec = jnp.split(eps, 2, 0)
+            g = eu + cfg_scale * (ec - eu)
+            return S.dpmsolver_step(sch, lat, g, t, t_prev, state)
+
+        for i, t in enumerate(timesteps):
+            tp = timesteps[i + 1] if i + 1 < len(timesteps) else -1
+            lat, state = step_fn({"params": m.unet_params}, lat,
+                                 jnp.asarray(int(t)), state,
+                                 jnp.asarray(int(tp)))
+        vae = m.vae
+        img = vae.apply({"params": m.vae_params}, lat, method=vae.decode)
+        return np.asarray(jnp.clip((img[0] + 1) / 2, 0, 1))
+
+    # ------------------------------------------------------------------
+    def load_init_mesh(self, mesh: Mesh, poses, intrinsics, render_size,
+                       cam_lights, ambient=0.3, bg_color=1.0):
+        """Render the input mesh with Lambertian point-light shading to
+        initialize MVEdit (adapter3d_mixin.py:21-66 load_init_mesh)."""
+        tm = Tonemapping()
+        rc = RasterConfig(height=render_size, width=render_size)
+        albedo_gray = 0.8
+        out = render_views(
+            jnp.asarray(mesh.v), jnp.asarray(mesh.f),
+            jnp.ones((len(mesh.f),), bool), jnp.asarray(poses),
+            jnp.asarray(intrinsics), rc)
+        alpha = out["alpha"]
+        n = out["normal"]
+        lam = jnp.clip(jnp.sum(
+            jnp.asarray(cam_lights)[:, None, None, :] * n, axis=-1,
+            keepdims=True), 0.0, None)
+        shading = lam * (1 - ambient) + ambient
+        if mesh.vc is not None:
+            base = jnp.asarray(mesh.vc).mean() * jnp.ones_like(n)
+        else:
+            base = albedo_gray * jnp.ones_like(n)
+        rgb = tm.lut(tm.inverse_lut(base)
+                     + jnp.log2(jnp.clip(shading, 1e-6, None)))
+        images = jnp.clip(rgb * alpha + bg_color * (1 - alpha), 0, 1)
+        depths = normalize_depth(out["depth"], alpha)
+        return {"images": images, "masks": alpha, "depths": depths,
+                "normals": n * 0.5 + 0.5}
+
+    # ------------------------------------------------------------------
+    def _mvedit_cfg(self, num_views, steps, n_inverse_steps,
+                    init_inverse_steps):
+        from ..pipelines import MVEdit3DConfig
+        from ..models.fields import INGPConfig
+        from ..models.volume_renderer import RenderConfig
+        from ..ops.hash_grid import HashGridConfig
+        tiny = self.tiny
+        ingp = INGPConfig(hash=HashGridConfig(
+            n_levels=4 if tiny else 12,
+            log2_hashmap_size=12 if tiny else 19,
+            base_resolution=4 if tiny else 16,
+            max_resolution=32 if tiny else 320))
+        return MVEdit3DConfig(
+            num_views=num_views,
+            render_size=64 if tiny else 512,
+            latent_size=8 if tiny else 64,
+            diffusion_steps=steps,
+            n_inverse_steps=n_inverse_steps,
+            init_inverse_steps=init_inverse_steps,
+            tet_resolution=16 if tiny else 128,
+            patch_size=16 if tiny else 128,
+            ingp=ingp,
+            render=RenderConfig(num_samples=32 if tiny else 128,
+                                grid_size=16 if tiny else 128))
+
+    def run_3d_to_3d(self, mesh_path, prompt, negative_prompt="", seed=42,
+                     steps=None, num_views=None, n_inverse_steps=None,
+                     init_inverse_steps=None, instruct=False,
+                     out_path=None):
+        """Mesh editing (adapter3d.py:954-1050): render init views ->
+        denoise<->reconstruct -> GLB."""
+        from ..pipelines import MVEdit3DPipeline
+        tiny = self.tiny
+        steps = steps or (2 if tiny else 24)
+        num_views = num_views or (3 if tiny else 32)
+        n_inverse_steps = n_inverse_steps or (4 if tiny else 80)
+        init_inverse_steps = init_inverse_steps or (8 if tiny else 256)
+        m = self.load_stable_diffusion()
+        m.controlnets, m.cn_params = self.load_controlnets(
+            ("tile", "depth", "ip2p") if instruct else ("tile", "depth"))
+        m.segment_fn = None
+        pre = self.run_mesh_preproc(mesh_path)
+        mesh = pre["mesh"]
+        c = self.constants
+        cfg = self._mvedit_cfg(num_views, steps, n_inverse_steps,
+                               init_inverse_steps)
+        rng = np.random.default_rng(seed)
+        poses, intr = C.surround_rig(
+            num_views, c["proc_3d_to_3d_camera_distance"],
+            c["proc_3d_to_3d_fov"], c["proc_3d_to_3d_min_elev"],
+            c["proc_3d_to_3d_max_elev"], cfg.render_size, rng=rng)
+        lights, _ = cam_utils.light_sampling(poses, rng=rng)
+        init = self.load_init_mesh(mesh, poses, intr, cfg.render_size,
+                                   lights)
+        targets = {
+            "images": init["images"], "masks": init["masks"],
+            "normals": init["normals"],
+            "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+            "cam_weights": jnp.ones((num_views,)),
+            "cam_lights": jnp.asarray(lights),
+        }
+        pos, neg = self.encode_prompt(m, [prompt] * num_views,
+                                      [negative_prompt] * num_views)
+        pipe = MVEdit3DPipeline(m, cfg)
+        out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)
+        if out_path and out["mesh"] is not None:
+            verts = out["mesh"].v
+            out["mesh"].v = (verts / pre["scale"]
+                             + pre["center"]).astype(np.float32)
+            out["mesh"].write(out_path, flip_yz=True)
+        return out
+
+    # ------------------------------------------------------------------
+    def load_zero123plus(self, version="1.1"):
+        from ..models.diffusion import (CLIPVisionConfig, CLIPVisionModel)
+        m = self.load_stable_diffusion()
+        if self.tiny:
+            vcfg = CLIPVisionConfig(image_size=32, patch_size=8,
+                                    hidden_size=32, intermediate_size=64,
+                                    num_layers=2, num_heads=4,
+                                    projection_dim=32)
+        else:
+            vcfg = CLIPVisionConfig(projection_dim=768)
+        m.vision = CLIPVisionModel(vcfg)
+        m.vision_params = self._load_params(
+            f"z123_vision:{version}",
+            lambda: m.vision.init(
+                jax.random.PRNGKey(self.seed),
+                jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+            )["params"], subdir="zero123plus_vision")
+        L = 8 if self.tiny else 77
+        Ctx = m.text_cfg.hidden_size
+        m.text_uncond = jnp.zeros((1, L, Ctx))
+        m.ramping = np.linspace(0, 1, L).astype(np.float32)
+        m.schedule = S.sd_schedule(prediction_type="v_prediction")
+        return m
+
+    def run_zero123plus(self, image, seed=42, num_steps=None,
+                        version="1.1"):
+        """Image -> 6-view grid (adapter3d.py:737-765)."""
+        from ..pipelines import Zero123PlusConfig, Zero123PlusPipeline
+        m = self.load_zero123plus(version)
+        tiny = self.tiny
+        cfg = Zero123PlusConfig(
+            num_steps=num_steps or (2 if tiny else 40),
+            grid_hw=(48, 32) if tiny else (960, 640),
+            shift_views=(version == "1.2"))
+        pipe = Zero123PlusPipeline(m, cfg)
+        image = jnp.asarray(image, jnp.float32)
+        if image.ndim == 3:
+            image = image[None]
+        H, W = cfg.grid_hw
+        img_r = jax.image.resize(image, (1, H, W, 3), "bilinear")
+        m.cond_pixels_clip = jax.image.resize(
+            image, (1, m.vision.cfg.image_size, m.vision.cfg.image_size, 3),
+            "bilinear")
+        out = pipe(img_r, jax.random.PRNGKey(seed))
+        return np.asarray(out[0])
+
+    def run_zero123plus_to_mesh(self, image, seed=42, out_path=None,
+                                **kwargs):
+        """Full image-to-3D (adapter3d.py:767-857): Zero123++ views ->
+        (pose estimation) -> MVEdit 3D pipeline."""
+        from ..pipelines import MVEdit3DPipeline
+        tiny = self.tiny
+        grid = self.run_zero123plus(image, seed=seed)
+        # split the 3x2 grid into 6 views
+        gh, gw = grid.shape[:2]
+        vh, vw = gh // 3, gw // 2
+        views = np.stack([
+            grid[r * vh:(r + 1) * vh, c * vw:(c + 1) * vw]
+            for r in range(3) for c in range(2)])
+        poses44, fov, dist = C.zero123plus_v11_rig()
+        poses = poses44[:6, :3]
+        m = self.load_stable_diffusion()
+        m.controlnets, m.cn_params = self.load_controlnets()
+        m.segment_fn = None
+        steps = kwargs.get("steps", 2 if tiny else 24)
+        num_views = 6
+        cfg = self._mvedit_cfg(num_views, steps,
+                               kwargs.get("n_inverse_steps",
+                                          4 if tiny else 80),
+                               kwargs.get("init_inverse_steps",
+                                          8 if tiny else 640))
+        size = cfg.render_size
+        import jax.image as jimage
+        views_r = jnp.asarray(np.stack([
+            np.asarray(jimage.resize(jnp.asarray(v), (size, size, 3),
+                                     "bilinear")) for v in views]))
+        focal = size / (2 * np.tan(np.radians(fov / 2)))
+        intr = np.tile(np.asarray(
+            [focal, focal, size / 2, size / 2], np.float32), (6, 1))
+        masks = jnp.ones((6, size, size, 1))
+        rng = np.random.default_rng(seed)
+        lights, _ = cam_utils.light_sampling(poses, rng=rng)
+        cam_w = np.asarray(
+            self.constants["zero123plus_cam_weights"][1:7], np.float32)
+        targets = {
+            "images": views_r, "masks": masks,
+            "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+            "cam_weights": jnp.asarray(cam_w),
+            "cam_lights": jnp.asarray(lights),
+        }
+        prompt = kwargs.get("prompt", "")
+        pos, neg = self.encode_prompt(
+            m, [prompt] * num_views,
+            [kwargs.get("negative_prompt", "")] * num_views)
+        pipe = MVEdit3DPipeline(m, cfg)
+        out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)
+        if out_path and out["mesh"] is not None:
+            out["mesh"].write(out_path, flip_yz=True)
+        return out
+
+    # ------------------------------------------------------------------
+    def run_stablessdnerf(self, prompt, seed=42, steps=None, cfg_scale=7.0,
+                          config_path="configs/ssdnerf_cars.py"):
+        """Text -> triplane code sample -> preview render
+        (adapter3d.py:1268-1345)."""
+        import importlib.util
+        import os
+        from ..models import gaussian_diffusion as GD
+        from ..models.ssdnerf import tanh_code
+        from ..models.triplane import triplane_init, triplane_point_decode
+        spec = importlib.util.spec_from_file_location(
+            "ssdnerf_cfg", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), config_path))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = mod.ssdnerf_config
+        key = jax.random.PRNGKey(seed)
+        _, denoise_apply, dparams = mod.build_denoiser(key)
+        schedule = S.sd_schedule(prediction_type="v_prediction")
+        code = GD.sample_from_noise(
+            schedule, lambda x, t, c: denoise_apply(dparams, x, t, c),
+            (1, *cfg.latent_shape), key,
+            num_steps=steps or (4 if self.tiny else 50))[0]
+        code_act = tanh_code(code)
+        decoder = triplane_init(jax.random.PRNGKey(self.seed), cfg.triplane)
+        from ..models.nerf_fit import make_image_renderer
+
+        def decode(p, x):
+            s, c2 = triplane_point_decode(
+                p["decoder"], p["code"], x.reshape(-1, 3), None,
+                cfg.triplane)
+            return s.reshape(x.shape[:-1]), c2.reshape(*x.shape[:-1], 3)
+
+        size = 32 if self.tiny else 160
+        c = self.constants
+        intr = cam_utils.intrinsics_from_fov(c["ssdnerf_fov"], size, size)
+        pose = cam_utils.get_pose_from_angles(
+            np.asarray([c["ssdnerf_front_azi"]]), np.asarray([0.3]),
+            c["ssdnerf_camera_distance"])[0, :3]
+        render = make_image_renderer(decode, size, size, cfg.render,
+                                     chunk=size * size, use_grid=False)
+        img = render({"decoder": decoder, "code": code_act},
+                     jnp.asarray(pose), jnp.asarray(intr), None)
+        return {"code": code, "preview": np.asarray(img["rgb"]),
+                "decoder": decoder}

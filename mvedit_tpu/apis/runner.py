@@ -32,10 +32,12 @@ from ..models.mesh import Mesh
 from ..utils import camera as cam_utils
 from ..utils.video import render_surround_video
 
+from .endpoints import EndpointsMixin
+
 __all__ = ["Adapter3DRunner"]
 
 
-class Adapter3DRunner:
+class Adapter3DRunner(EndpointsMixin):
     def __init__(self, checkpoint_dir=None, fp16=False, seed=42,
                  tiny_models=False):
         self.checkpoint_dir = checkpoint_dir

@@ -28,7 +28,7 @@ from .mesh.renderer import render_views
 from . import losses as L
 
 __all__ = ["MeshFitConfig", "init_sdf_from_density", "laplacian_loss",
-           "make_mesh_fit"]
+           "normal_consistency_loss", "make_mesh_fit"]
 
 
 @dataclass(frozen=True)
@@ -42,6 +42,7 @@ class MeshFitConfig:
     alpha_weight: float = 1.0
     normal_reg_weight: float = 4.0
     laplacian_weight: float = 0.25
+    normal_consistency_weight: float = 0.25
     ambient_light: float = 0.3
     bg_color: float = 1.0
     shaded: bool = True
@@ -53,6 +54,32 @@ def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05):
     pipelines/utils.py:156-184): positive inside (density > thresh)."""
     sigma = density_fn(jnp.asarray(grid.verts))
     return jnp.clip((sigma - thresh) * scale, -1.0, 1.0)
+
+
+def normal_consistency_loss(verts, faces, face_mask):
+    """Penalize the angle between normals of faces sharing a vertex — a
+    static-shape stand-in for the reference's edge-paired normal
+    consistency (base_mesh_renderer.py:55-68, which builds a dynamic
+    edge-to-face map): per-vertex mean face normal vs each face normal.
+    """
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    fn = fn / jnp.clip(jnp.linalg.norm(fn, axis=-1, keepdims=True),
+                       1e-12, None)
+    w = face_mask.astype(verts.dtype)
+    vsum = jnp.zeros_like(verts)
+    deg = jnp.zeros((verts.shape[0],), verts.dtype)
+    for i in range(3):
+        vsum = vsum.at[faces[:, i]].add(fn * w[:, None])
+        deg = deg.at[faces[:, i]].add(w)
+    vn = vsum / jnp.clip(deg[:, None], 1.0, None)
+    vn = vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True),
+                       1e-12, None)
+    # mean (1 - cos) between each face normal and its 3 vertex normals
+    cos = sum(jnp.sum(fn * vn[faces[:, i]], axis=-1) for i in range(3)) / 3
+    return jnp.sum((1.0 - cos) * w) / jnp.clip(w.sum(), 1.0, None)
 
 
 def laplacian_loss(verts, faces, face_mask, vert_mask):
@@ -137,6 +164,12 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
                              mt["vert_mask"]) * cfg.laplacian_weight
         total += lap
         metrics["laplacian"] = lap
+        if cfg.normal_consistency_weight > 0:
+            nc = normal_consistency_loss(
+                mt["verts"], mt["faces"], mt["face_mask"]) \
+                * cfg.normal_consistency_weight
+            total += nc
+            metrics["normal_consistency"] = nc
         return total, metrics
 
     def sample_batch(key, targets):

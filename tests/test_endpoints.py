@@ -1,0 +1,84 @@
+"""End-to-end endpoint smoke tests with tiny random-weight models."""
+import os
+
+import numpy as np
+import pytest
+
+from mvedit_tpu.apis import Adapter3DRunner
+from mvedit_tpu.models.mesh import Mesh
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return Adapter3DRunner(tiny_models=True, seed=0)
+
+
+def _sphere_glb(tmp_path):
+    import jax.numpy as jnp
+    from mvedit_tpu.models.mesh.dmtet import build_grid_tets, marching_tets
+    grid = build_grid_tets(10, crop_sphere=False)
+    sdf = 0.55 - np.linalg.norm(grid.verts, axis=-1)
+    out = marching_tets(grid, jnp.asarray(sdf))
+    fm = np.asarray(out["face_mask"])
+    f = np.asarray(out["faces"])[fm]
+    v = np.asarray(out["verts"])
+    used = np.unique(f)
+    remap = np.full(len(v), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    mesh = Mesh(v=v[used].astype(np.float32), f=remap[f].astype(np.int32))
+    mesh.auto_normal()
+    p = str(tmp_path / "sphere.glb")
+    mesh.write_glb(p)
+    return p
+
+
+def test_run_text_to_img(runner):
+    img = runner.run_text_to_img("a red car", steps=2)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+
+
+def test_run_segmentation(runner):
+    masks = runner.run_segmentation(np.zeros((1, 32, 32, 3), np.float32))
+    assert masks.shape == (1, 32, 32, 1)
+
+
+@pytest.mark.slow
+def test_run_zero123plus(runner):
+    grid = runner.run_zero123plus(np.zeros((48, 32, 3), np.float32),
+                                  num_steps=2)
+    assert grid.shape == (48, 32, 3)
+    assert np.isfinite(grid).all()
+
+
+@pytest.mark.slow
+def test_run_3d_to_3d_end_to_end(runner, tmp_path):
+    src = _sphere_glb(tmp_path)
+    out_path = str(tmp_path / "edited.glb")
+    out = runner.run_3d_to_3d(src, "a colorful sphere", seed=1,
+                              out_path=out_path)
+    assert out["mesh"] is not None
+    assert os.path.exists(out_path)
+    m = Mesh.load(out_path)
+    assert len(m.f) > 0
+    assert m.albedo is not None
+
+
+@pytest.mark.slow
+def test_run_stablessdnerf(runner):
+    out = runner.run_stablessdnerf("a car", steps=2)
+    assert out["preview"].shape == (32, 32, 3)
+    assert np.isfinite(out["preview"]).all()
+
+
+def test_marching_cubes_sphere():
+    import jax.numpy as jnp
+    from mvedit_tpu.ops.marching_cubes import extract_geometry
+
+    def density(x):
+        return 30.0 * (jnp.linalg.norm(x, axis=-1) < 0.5)
+
+    v, f = extract_geometry(density, resolution=16, threshold=10.0)
+    assert len(f) > 50
+    d = np.linalg.norm(v, axis=-1)
+    np.testing.assert_allclose(np.median(d), 0.5, atol=0.1)
