@@ -134,8 +134,10 @@ class Adapter3DRunner(EndpointsMixin):
         t0 = jnp.zeros((1,), jnp.int32)
         ctx = jnp.zeros((1, 8, cfg.cross_attention_dim))
         hint = jnp.zeros((1, 64, 64, 3))
+        # tiny VAE downsamples /2 (2 blocks) vs SD's /8 -> adapt hint stack
+        hint_strides = 1 if self.tiny else 3
         for kind in kinds:
-            cn = ControlNet(cfg)
+            cn = ControlNet(cfg, hint_strides=hint_strides)
             p = self._load_params(
                 f"controlnet:{kind}",
                 lambda: cn.init(key, lat, t0, ctx, hint)["params"],

@@ -27,6 +27,9 @@ __all__ = ["ControlNet", "apply_multi_controlnet"]
 class ControlNet(nn.Module):
     cfg: UNetConfig = field(default_factory=lambda: SD15_UNET)
     conditioning_channels: int = 3
+    # number of stride-2 convs in the hint embedding; 3 matches SD's /8
+    # latent space (set log2(cond_size / latent_size) for other VAEs)
+    hint_strides: int = 3
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states, cond_image,
@@ -49,8 +52,11 @@ class ControlNet(nn.Module):
         c = cond_image.astype(dt)
         c = jax.nn.silu(nn.Conv(16, (3, 3), padding=1, dtype=dt,
                                 name="cond_conv_in")(c))
+        n_strided = 0
         for i, ch in enumerate((16, 32, 32, 96, 96, 256)):
-            stride = 2 if i % 2 == 1 else 1
+            stride = 2 if (i % 2 == 1 and n_strided < self.hint_strides) \
+                else 1
+            n_strided += stride == 2
             c = jax.nn.silu(nn.Conv(ch, (3, 3), strides=(stride, stride),
                                     padding=1, dtype=dt,
                                     name=f"cond_blocks_{i}")(c))

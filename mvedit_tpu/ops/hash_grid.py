@@ -79,18 +79,17 @@ def _level_index(corner, res, table_size):
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
-_CORNERS = None
+import numpy as _np
+
+# (8, 3) corner offsets as a host constant (a cached jnp array created
+# inside a trace would leak tracers)
+_CORNERS_NP = _np.asarray(
+    [[dx, dy, dz] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+    _np.int32)
 
 
 def _corner_offsets():
-    global _CORNERS
-    if _CORNERS is None:
-        import numpy as _onp
-        _CORNERS = jnp.asarray(
-            [[dx, dy, dz] for dz in (0, 1) for dy in (0, 1)
-             for dx in (0, 1)], jnp.int32)  # (8, 3)
-        del _onp
-    return _CORNERS
+    return jnp.asarray(_CORNERS_NP)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -48,6 +48,34 @@ from ..utils.geometry import normalize_depth
 __all__ = ["MVEdit3DConfig", "MVEdit3DPipeline"]
 
 
+def _ingp_decode(params, xyz, ingp_cfg):
+    """Module-level decode fn (stable identity for jit caches)."""
+    return ingp_point_decode(params, xyz, ingp_cfg)
+
+
+def _ingp_color(params, xyz, ingp_cfg):
+    return ingp_point_decode(params, xyz, ingp_cfg)[1]
+
+
+class _FieldShading:
+    """Hashable shading callback: equality by config so jitted renderers
+    cache across timesteps while params update by closure."""
+
+    def __init__(self, params, ingp_cfg):
+        self.params = params
+        self.ingp_cfg = ingp_cfg
+
+    def __call__(self, xyz, normal, view_dir):
+        return ingp_point_decode(self.params, xyz, self.ingp_cfg)[1]
+
+    def __hash__(self):
+        return hash(self.ingp_cfg)
+
+    def __eq__(self, other):
+        return isinstance(other, _FieldShading) \
+            and other.ingp_cfg == self.ingp_cfg
+
+
 def default_max_num_views(progress, start=32, end=9, power=3.0):
     """View-count schedule (mvedit_3d_pipeline.py:45-49)."""
     return int(round(start + (end - start) * (progress ** power)))
@@ -93,6 +121,10 @@ class MVEdit3DPipeline:
         self.cfg = cfg
         self.schedule = models.schedule
         self._jit_cache = {}
+        # stable function objects: a fresh lambda per call would defeat the
+        # jit caches of the renderers/fitters (recompile every timestep)
+        self._decode_fn = partial(_ingp_decode, ingp_cfg=cfg.ingp)
+        self._density_fn_builder = None
 
     # ---------------- jitted phases -------------------------------------
 
@@ -148,7 +180,7 @@ class MVEdit3DPipeline:
         nerf_params = ingp_init(k0, cfg.ingp)
         grid = OccupancyGrid.create(cfg.render.grid_size)
 
-        decode_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)  # noqa
+        decode_fn = self._decode_fn
         fit_cfg = NF.NerfFitConfig(
             render=cfg.render, patch_size=cfg.patch_size,
             patch_bs=cfg.patch_bs, n_steps=cfg.n_inverse_steps)
@@ -227,7 +259,7 @@ class MVEdit3DPipeline:
                         n_steps=cfg.n_inverse_steps)
                     mesh_fit_fns = MF.make_mesh_fit(
                         tet_grid,
-                        lambda p, x: decode_fn(p, x)[1], mcfg)
+                        partial(_ingp_color, ingp_cfg=cfg.ingp), mcfg)
                     mesh_opt_state = mesh_fit_fns[1].init(mesh_state)
                 mfit, _, _ = mesh_fit_fns
                 mesh_state, mesh_opt_state, _ = mfit(
@@ -274,7 +306,7 @@ class MVEdit3DPipeline:
         cfg = self.cfg
         if mesh_state is None:
             render = NF.make_image_renderer(
-                lambda p, x: ingp_point_decode(p, x, cfg.ingp),
+                self._decode_fn,
                 cfg.render_size, cfg.render_size, cfg.render,
                 chunk=cfg.render_size * 128)
             outs = [render(nerf_params, tgt["poses"][i],
@@ -287,9 +319,7 @@ class MVEdit3DPipeline:
             }
         _, _, extract = mesh_fit_fns
         mt = extract(mesh_state)
-
-        def shading_fun(xyz, normal, view_dir):
-            return ingp_point_decode(mesh_state["field"], xyz, cfg.ingp)[1]
+        shading_fun = _FieldShading(mesh_state["field"], cfg.ingp)
 
         out = render_views(
             mt["verts"], mt["faces"], mt["face_mask"], tgt["poses"],
@@ -325,8 +355,8 @@ class MVEdit3DPipeline:
             jnp.asarray(mesh.v), jnp.asarray(mesh.f),
             jnp.ones((len(mesh.f),), bool), jnp.asarray(mesh.vt),
             jnp.asarray(mesh.ft),
-            lambda xyz: ingp_point_decode(
-                mesh_state["field"], xyz, cfg.ingp)[1], acfg)
+            partial(_ingp_color, mesh_state["field"],
+                    ingp_cfg=cfg.ingp), acfg)
         rgb = edge_dilation(rgb, mask, n_iters=16)
         mesh.albedo = np.asarray(jnp.clip(rgb, 0, 1))
         return mesh

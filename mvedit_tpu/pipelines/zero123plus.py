@@ -104,7 +104,8 @@ class Zero123PlusPipeline:
         timesteps = S.make_timesteps(cfg.num_steps, sch.num_train_timesteps,
                                      "trailing")
         key, k0 = jax.random.split(key)
-        latents = jax.random.normal(k0, (1, H // 8, W // 8, 4))
+        ds = 2 ** (len(vae.cfg.block_out_channels) - 1)
+        latents = jax.random.normal(k0, (1, H // ds, W // ds, 4))
 
         unet = self.m.unet
 
