@@ -130,12 +130,13 @@ class Adapter3DRunner(EndpointsMixin):
         cfg = self._tiny_unet_cfg() if self.tiny else SD15_UNET
         key = jax.random.PRNGKey(self.seed + 1)
         nets, params = [], []
+        # tiny VAE downsamples /2 (2 blocks) vs SD's /8 -> adapt hint stack
+        hint_strides = 1 if self.tiny else 3
         lat = jnp.zeros((1, 8, 8, 4))
         t0 = jnp.zeros((1,), jnp.int32)
         ctx = jnp.zeros((1, 8, cfg.cross_attention_dim))
-        hint = jnp.zeros((1, 64, 64, 3))
-        # tiny VAE downsamples /2 (2 blocks) vs SD's /8 -> adapt hint stack
-        hint_strides = 1 if self.tiny else 3
+        hs = 8 * 2 ** hint_strides
+        hint = jnp.zeros((1, hs, hs, 3))
         for kind in kinds:
             cn = ControlNet(cfg, hint_strides=hint_strides)
             p = self._load_params(
@@ -198,11 +199,16 @@ class Adapter3DRunner(EndpointsMixin):
         m.controlnets, m.cn_params = self.load_controlnets()
         num_views = num_views or (4 if self.tiny else 12)
         render_size = render_size or (64 if self.tiny else 512)
-        ingp = INGPConfig(hash=HashGridConfig(
-            n_levels=4 if self.tiny else 12,
-            log2_hashmap_size=12 if self.tiny else 19,
-            base_resolution=4 if self.tiny else 16,
-            max_resolution=32 if self.tiny else 320))
+        from ..ops.dense_grid import DenseGridConfig
+        ingp = INGPConfig(
+            backend="dense",
+            dense=DenseGridConfig(
+                resolutions=(8, 32) if self.tiny else (32, 160)),
+            hash=HashGridConfig(
+                n_levels=4 if self.tiny else 12,
+                log2_hashmap_size=12 if self.tiny else 19,
+                base_resolution=4 if self.tiny else 16,
+                max_resolution=32 if self.tiny else 320))
         cfg = TextureConfig(
             num_views=num_views, render_size=render_size,
             diffusion_steps=steps, denoising_strength=denoising_strength,

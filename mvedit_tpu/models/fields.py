@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from ..ops.activation import trunc_exp
 from ..ops.hash_grid import HashGridConfig, hash_grid_encode, hash_grid_init
+from ..ops.dense_grid import (DenseGridConfig, dense_grid_encode,
+                              dense_grid_init)
 
 __all__ = ["mlp_init", "mlp_apply", "INGPConfig", "ingp_init",
            "ingp_point_decode", "ingp_density"]
@@ -48,8 +50,14 @@ def mlp_apply(params, x):
 @dataclass(frozen=True)
 class INGPConfig:
     """Matches the reference defaults at ingp_decoder.py:47-57 (n_levels
-    chosen 12 for 320 max res / 14 for 512, adapter3d.py:66)."""
+    chosen 12 for 320 max res / 14 for 512, adapter3d.py:66).
+
+    backend="hash" reproduces tcnn semantics; backend="dense" swaps in the
+    TPU-first dense feature pyramid (ops/dense_grid.py) — far fewer, wider
+    gathers; recommended on TPU."""
     hash: HashGridConfig = field(default_factory=HashGridConfig)
+    dense: DenseGridConfig = field(default_factory=DenseGridConfig)
+    backend: str = "hash"
     num_layers: int = 2
     hidden_dim: int = 64
     sigmoid_saturation: float = 0.001
@@ -58,15 +66,24 @@ class INGPConfig:
     bound: float = 1.0
 
     @property
+    def enc_dim(self):
+        return (self.hash.out_dim if self.backend == "hash"
+                else self.dense.out_dim)
+
+    @property
     def mlp_dims(self):
-        return (self.hash.out_dim,
+        return (self.enc_dim,
                 *([self.hidden_dim] * (self.num_layers - 1)), 4)
 
 
 def ingp_init(key, cfg: INGPConfig):
     k1, k2 = jax.random.split(key)
+    if cfg.backend == "dense":
+        table = dense_grid_init(k1, cfg.dense)
+    else:
+        table = hash_grid_init(k1, cfg.hash)
     return {
-        "table": hash_grid_init(k1, cfg.hash),
+        "table": table,
         "mlp": mlp_init(k2, cfg.mlp_dims),
     }
 
@@ -82,8 +99,11 @@ def ingp_point_decode(params, xyz, cfg: INGPConfig):
     """xyz: (..., 3) world points in [-bound, bound].
 
     Returns (sigma (...,), rgb (..., 3))."""
-    enc = hash_grid_encode(params["table"],
-                           (xyz + cfg.bound) / (2.0 * cfg.bound), cfg.hash)
+    x01 = (xyz + cfg.bound) / (2.0 * cfg.bound)
+    if cfg.backend == "dense":
+        enc = dense_grid_encode(params["table"], x01, cfg.dense)
+    else:
+        enc = hash_grid_encode(params["table"], x01, cfg.hash)
     h = mlp_apply(params["mlp"], enc)
     sigma = trunc_exp(h[..., 0] + _density_blob(xyz, cfg))
     rgb = jax.nn.sigmoid(h[..., 1:])

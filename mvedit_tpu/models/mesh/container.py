@@ -79,6 +79,10 @@ class Mesh:
         except ImportError:
             pass
         F = len(self.f)
+        if F == 0:
+            self.vt = np.zeros((0, 2), np.float32)
+            self.ft = np.zeros((0, 3), np.int32)
+            return self
         n = atlas_tris_per_row or int(np.ceil(np.sqrt(F)))
         rows = int(np.ceil(F / n))
         pad = 0.15  # fraction of a cell kept as margin

@@ -49,10 +49,18 @@ class MeshFitConfig:
     ssaa: int = 1
 
 
-def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05):
+def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05,
+                          adaptive=True):
     """sdf0 at tet verts from the NeRF density field (init_tet analog,
-    pipelines/utils.py:156-184): positive inside (density > thresh)."""
+    pipelines/utils.py:156-184): positive inside (density > thresh).
+
+    `adaptive` clamps the threshold below the field's 95th percentile (like
+    the occupancy grid's mean-clamped threshold) so an undertrained field
+    still yields a surface instead of an empty tet grid."""
     sigma = density_fn(jnp.asarray(grid.verts))
+    if adaptive:
+        thresh = jnp.minimum(jnp.asarray(thresh, sigma.dtype),
+                             jnp.percentile(sigma, 95.0) * 0.5)
     return jnp.clip((sigma - thresh) * scale, -1.0, 1.0)
 
 

@@ -73,13 +73,42 @@ def occupancy_at(grid: OccupancyGrid, xyz, bound):
     return grid.occ[idx[..., 0], idx[..., 1], idx[..., 2]]
 
 
-def sample_rays(rays_o, rays_d, cfg: RenderConfig, key=None):
-    """Stratified fixed-count samples per ray.
+def tighten_interval(rays_o, rays_d, near, far, grid: OccupancyGrid, bound,
+                     probe_samples=64):
+    """Shrink [near, far] to the occupied span along each ray by probing the
+    occupancy grid (cheap bool lookups, no field evals). This is the static-
+    shape analog of the CUDA marcher's bitfield voxel skipping
+    (raymarching.cu:338-476): the fixed sample budget then concentrates on
+    the ~1/3 of the ray that can contribute."""
+    u = (jnp.arange(probe_samples, dtype=jnp.float32) + 0.5) / probe_samples
+    ts = near[..., None] + (far - near)[..., None] * u
+    xyz = rays_o[..., None, :] + rays_d[..., None, :] * ts[..., None]
+    occ = occupancy_at(grid, xyz, bound)                  # (R, P)
+    any_occ = jnp.any(occ, axis=-1)
+    idx = jnp.arange(probe_samples)
+    first = jnp.argmax(occ, axis=-1)
+    last = probe_samples - 1 - jnp.argmax(occ[..., ::-1], axis=-1)
+    del idx
+    step = (far - near) / probe_samples
+    t0 = near + jnp.maximum(first - 1, 0) * step
+    t1 = near + jnp.minimum(last + 2, probe_samples) * step
+    near2 = jnp.where(any_occ, t0, near)
+    far2 = jnp.where(any_occ, t1, near + 1e-3)
+    return near2, far2, any_occ
+
+
+def sample_rays(rays_o, rays_d, cfg: RenderConfig, key=None, grid=None):
+    """Stratified fixed-count samples per ray (optionally concentrated on
+    the occupancy grid's support when `grid` is given).
 
     Returns (xyz (R, S, 3), ts (R, S), deltas (R, S), valid (R, S))."""
     near, far = ray_aabb(rays_o, rays_d, cfg.bound)
     hit = far > near
     far = jnp.where(hit, far, near + 1e-3)
+    if grid is not None:
+        near, far, any_occ = tighten_interval(
+            rays_o, rays_d, near, far, grid, cfg.bound)
+        hit = hit & any_occ
     S = cfg.num_samples
     u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
     if cfg.stratified and key is not None:
@@ -130,7 +159,7 @@ def render_rays(point_decode_fn, rays_o, rays_d, cfg: RenderConfig,
     this renderer agnostic to iNGP vs triplane decoders, like the abstract
     `point_decode` at base_volume_renderer.py:179).
     """
-    xyz, ts, deltas, valid = sample_rays(rays_o, rays_d, cfg, key)
+    xyz, ts, deltas, valid = sample_rays(rays_o, rays_d, cfg, key, grid=grid)
     if grid is not None:
         valid = valid & occupancy_at(grid, xyz, cfg.bound)
     sigmas, rgbs = point_decode_fn(xyz)

@@ -103,19 +103,18 @@ def hash_grid_encode(table, xyz, cfg: HashGridConfig):
     Returns:
         (..., L * F) float32 features.
 
-    All (8 corners x L levels) lookups are fused into ONE flat gather from
-    the flattened (L*T, F) table — a single large `jnp.take` pipelines far
-    better on TPU than 8L separate gathers.
+    Layout note: each (level, corner) is its own (P,) take — a fused
+    (P, L, 8, F) gather looks tidy but the TPU tile layout pads the tiny
+    trailing dims (12, 8) -> (16, 128), a 21x memory blowup that OOMs at
+    render sizes. The per-take (P, F) buffers pad far less.
     """
     batch_shape = xyz.shape[:-1]
     x = jnp.clip(xyz.reshape(-1, 3).astype(jnp.float32), 0.0, 1.0)
     P = x.shape[0]
-    L = cfg.n_levels
-    corners = _corner_offsets()                       # (8, 3)
-
-    all_idx = []
-    all_w = []
-    for level in range(L):
+    flat = table.reshape(cfg.n_levels * cfg.table_size, cfg.n_features)
+    corners = _CORNERS_NP
+    feats = []
+    for level in range(cfg.n_levels):
         res = cfg.level_resolution(level)
         pos = x * res
         p0 = jnp.floor(pos)
@@ -125,18 +124,18 @@ def hash_grid_encode(table, xyz, cfg: HashGridConfig):
         else:
             w = t
         p0i = p0.astype(jnp.int32)
-        corner = jnp.minimum(p0i[:, None, :] + corners[None], res)  # (P,8,3)
-        idx = _level_index(corner, res, cfg.table_size)             # (P,8)
-        all_idx.append(idx + level * cfg.table_size)
-        w1 = jnp.stack([1.0 - w, w], axis=-1)        # (P, 3, 2)
-        cw = (w1[:, 0, corners[:, 0]] * w1[:, 1, corners[:, 1]]
-              * w1[:, 2, corners[:, 2]])             # (P, 8)
-        all_w.append(cw)
-
-    idx_all = jnp.stack(all_idx, axis=1)             # (P, L, 8)
-    w_all = jnp.stack(all_w, axis=1)                 # (P, L, 8)
-    flat = table.reshape(L * cfg.table_size, cfg.n_features)
-    v = jnp.take(flat, idx_all.reshape(-1), axis=0)  # (P*L*8, F)
-    v = v.reshape(P, L, 8, cfg.n_features)
-    out = jnp.sum(v * w_all[..., None], axis=2)      # (P, L, F)
+        acc = jnp.zeros((P, cfg.n_features), jnp.float32)
+        for c in range(8):
+            dx, dy, dz = corners[c]
+            corner = jnp.minimum(
+                p0i + jnp.asarray([dx, dy, dz], jnp.int32), res)
+            idx = _level_index(corner, res, cfg.table_size) \
+                + level * cfg.table_size
+            v = jnp.take(flat, idx, axis=0)  # (P, F)
+            wx = w[:, 0] if dx else 1.0 - w[:, 0]
+            wy = w[:, 1] if dy else 1.0 - w[:, 1]
+            wz = w[:, 2] if dz else 1.0 - w[:, 2]
+            acc = acc + v * (wx * wy * wz)[:, None]
+        feats.append(acc)
+    out = jnp.concatenate(feats, axis=-1)
     return out.reshape(*batch_shape, cfg.out_dim)

@@ -340,6 +340,10 @@ class MVEdit3DPipeline:
         faces = np.asarray(mt["faces"])
         fmask = np.asarray(mt["face_mask"])
         faces = faces[fmask]
+        if len(faces) == 0:
+            # degenerate extraction (e.g. empty density field) — the
+            # reference degrades to out_mesh=None (mvedit_3d_pipeline.py:1491)
+            return None
         # compact vertices
         used = np.unique(faces)
         remap = np.full(len(verts), -1, np.int64)

@@ -27,14 +27,15 @@ TINY_INGP = INGPConfig(hash=HashGridConfig(
     n_levels=4, base_resolution=4, max_resolution=32, log2_hashmap_size=12))
 
 
-def _make_models(key, n_cn=2):
+def _make_models(key, n_cn=2, hint_strides=3):
     unet = UNet2DCondition(TINY_UNET)
     vae = AutoencoderKL(TINY_VAE)
-    cns = tuple(ControlNet(TINY_UNET) for _ in range(n_cn))
+    cns = tuple(ControlNet(TINY_UNET, hint_strides=hint_strides)
+                for _ in range(n_cn))
     x = jnp.zeros((1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 8, 32))
-    hint = jnp.zeros((1, 64, 64, 3))
+    hint = jnp.zeros((1, 8 * 2 ** hint_strides, 8 * 2 ** hint_strides, 3))
     keys = jax.random.split(key, 3 + n_cn)
     m = types.SimpleNamespace()
     m.unet = unet
@@ -72,7 +73,8 @@ def test_texture_pipeline_end_to_end(tmp_path):
     from mvedit_tpu.apis.cameras import surround_rig
 
     key = jax.random.PRNGKey(0)
-    m = _make_models(key)
+    # tiny VAE downscales /2: hints at render size need 1 stride to match
+    m = _make_models(key, hint_strides=1)
     N = 2
     size = 64
     cfg = TextureConfig(num_views=N, render_size=size, diffusion_steps=2,

@@ -180,3 +180,17 @@ def test_ray_batch_iterator(tmp_path):
     b1 = next(it)   # stream batch #1 (b consumed #0)
     b2 = next(it2)  # skip_iter=1 -> also batch #1
     np.testing.assert_allclose(b1["rgb"], b2["rgb"])
+
+
+def test_ddpm_unet_triplane_shapes():
+    import jax
+    import jax.numpy as jnp
+    from mvedit_tpu.models.ddpm_unet import DDPMUNet, DDPMUNetConfig
+    cfg = DDPMUNetConfig(in_channels=12, out_channels=12, base_channels=32,
+                         channel_mults=(1, 2), attn_levels=(1,), num_heads=2)
+    net = DDPMUNet(cfg)
+    x = jnp.zeros((2, 3, 4, 8, 8))
+    t = jnp.zeros((2,), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == x.shape

@@ -134,3 +134,33 @@ def test_nerf_fit_overfits_sphere():
     mse = float(jnp.mean((test_out["rgb"] - targets["images"][0]) ** 2))
     psnr = -10 * np.log10(mse)
     assert psnr > 18.0, f"psnr={psnr}"
+
+
+def test_dense_grid_field_matches_contract():
+    from mvedit_tpu.ops.dense_grid import (DenseGridConfig, dense_grid_init,
+                                           dense_grid_encode)
+    cfg = DenseGridConfig(resolutions=(4, 8), n_features=4)
+    tabs = dense_grid_init(jax.random.PRNGKey(0), cfg, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = dense_grid_encode(tabs, x, cfg)
+    assert out.shape == (64, cfg.out_dim)
+    # continuity + gradient flow
+    out2 = dense_grid_encode(tabs, x + 1e-5, cfg)
+    assert float(jnp.max(jnp.abs(out - out2))) < 1e-2
+    g = jax.grad(lambda t: dense_grid_encode(t, x, cfg).sum())(tabs)
+    assert float(jnp.abs(g["level_0"]).sum()) > 0
+
+
+def test_ingp_dense_backend_decodes():
+    icfg = INGPConfig(backend="dense")
+    from mvedit_tpu.ops.dense_grid import DenseGridConfig
+    icfg = INGPConfig(
+        backend="dense",
+        dense=DenseGridConfig(resolutions=(4, 16), n_features=4))
+    params = ingp_init(jax.random.PRNGKey(0), icfg)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.9,
+                             maxval=0.9)
+    sigma, rgb = ingp_point_decode(params, xyz, icfg)
+    assert sigma.shape == (32,)
+    assert rgb.shape == (32, 3)
+    assert np.isfinite(np.asarray(sigma)).all()
