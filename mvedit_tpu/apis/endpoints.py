@@ -221,26 +221,57 @@ class EndpointsMixin:
         out = pipe(img_r, jax.random.PRNGKey(seed))
         return np.asarray(out[0])
 
-    def run_zero123plus_to_mesh(self, image, seed=42, out_path=None,
-                                **kwargs):
-        """Full image-to-3D (adapter3d.py:767-857): Zero123++ views ->
-        (pose estimation) -> MVEdit 3D pipeline."""
-        from ..pipelines import MVEdit3DPipeline
-        tiny = self.tiny
-        grid = self.run_zero123plus(image, seed=seed)
-        # split the 3x2 grid into 6 views
+    def _split_grid(self, grid):
+        """(3h, 2w, 3) Zero123++ grid -> (6, h, w, 3) views (row-major,
+        matching the rig order; adapter3d.py:472 reshape)."""
         gh, gw = grid.shape[:2]
         vh, vw = gh // 3, gw // 2
-        views = np.stack([
-            grid[r * vh:(r + 1) * vh, c * vw:(c + 1) * vw]
-            for r in range(3) for c in range(2)])
+        return np.stack([grid[r * vh:(r + 1) * vh, c * vw:(c + 1) * vw]
+                         for r in range(3) for c in range(2)])
+
+    def proc_zero123plus(self, image, seed=42, passes=None, num_steps=None):
+        """(3 original + 3 mirrored) Zero123++ passes -> stacked views
+        (proc_zero123plus, adapter3d.py:456-514). Mirrored passes flip the
+        input and un-mirror each output view. Returns (6*passes, h, w, 3)."""
+        passes = passes or (1 if self.tiny else 6)
+        views = []
+        img = np.asarray(image, np.float32)
+        for p in range(passes):
+            mirrored = p % 2 == 1
+            src = img[:, ::-1] if mirrored else img
+            grid = self.run_zero123plus(src, seed=seed + p,
+                                        num_steps=num_steps)
+            v6 = self._split_grid(grid)
+            if mirrored:
+                v6 = v6[:, :, ::-1]
+            views.append(v6)
+        return np.concatenate(views, axis=0)
+
+    def run_zero123plus_to_mesh(self, image, seed=42, out_path=None,
+                                passes=None, in_pose=None, **kwargs):
+        """Full image-to-3D (adapter3d.py:767-857): Zero123++ multi-pass
+        views + the input image as view 0 (weight 3.0, pose from elevation
+        estimation when a matcher is loaded, else the default front pose)
+        -> MVEdit 3D pipeline -> GLB."""
+        from ..pipelines import MVEdit3DPipeline
+        tiny = self.tiny
+        passes = passes or (1 if self.tiny else 6)
+        views = self.proc_zero123plus(image, seed=seed, passes=passes)
         poses44, fov, dist = C.zero123plus_v11_rig()
-        poses = poses44[:6, :3]
+        n_gen = 6 * passes
+        gen_poses = poses44[:n_gen, :3]
+        if in_pose is None:
+            # default: front view at the rig's distance (pose estimation via
+            # LoFTR hooks in utils/pose_estimation when weights present)
+            in_pose = cam_utils.get_pose_from_angles(
+                np.asarray([0.0]), np.asarray([0.3]), dist)[0, :3]
+        poses = np.concatenate([in_pose[None], gen_poses], axis=0)
+        num_views = 1 + n_gen
+
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets()
         m.segment_fn = None
         steps = kwargs.get("steps", 2 if tiny else 24)
-        num_views = 6
         cfg = self._mvedit_cfg(num_views, steps,
                                kwargs.get("n_inverse_steps",
                                           4 if tiny else 80),
@@ -248,17 +279,26 @@ class EndpointsMixin:
                                           8 if tiny else 640))
         size = cfg.render_size
         import jax.image as jimage
-        views_r = jnp.asarray(np.stack([
-            np.asarray(jimage.resize(jnp.asarray(v), (size, size, 3),
-                                     "bilinear")) for v in views]))
+
+        def rs(v):
+            return np.asarray(jimage.resize(
+                jnp.asarray(v, jnp.float32), (size, size, 3), "bilinear"))
+
+        views_r = jnp.asarray(np.stack(
+            [rs(np.asarray(image, np.float32))] + [rs(v) for v in views]))
         focal = size / (2 * np.tan(np.radians(fov / 2)))
         intr = np.tile(np.asarray(
-            [focal, focal, size / 2, size / 2], np.float32), (6, 1))
-        masks = jnp.ones((6, size, size, 1))
+            [focal, focal, size / 2, size / 2], np.float32),
+            (num_views, 1))
+        masks = jnp.ones((num_views, size, size, 1))
         rng = np.random.default_rng(seed)
         lights, _ = cam_utils.light_sampling(poses, rng=rng)
         cam_w = np.asarray(
-            self.constants["zero123plus_cam_weights"][1:7], np.float32)
+            self.constants["zero123plus_cam_weights"][:num_views],
+            np.float32)
+        if len(cam_w) < num_views:
+            cam_w = np.pad(cam_w, (0, num_views - len(cam_w)),
+                           constant_values=1.0)
         targets = {
             "images": views_r, "masks": masks,
             "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),

@@ -82,3 +82,13 @@ def test_marching_cubes_sphere():
     assert len(f) > 50
     d = np.linalg.norm(v, axis=-1)
     np.testing.assert_allclose(np.median(d), 0.5, atol=0.1)
+
+
+@pytest.mark.slow
+def test_run_zero123plus_to_mesh_end_to_end(runner, tmp_path):
+    out_path = str(tmp_path / "img23d.glb")
+    out = runner.run_zero123plus_to_mesh(
+        np.full((48, 32, 3), 0.6, np.float32), seed=3, passes=1,
+        out_path=out_path)
+    assert out["mesh"] is not None
+    assert os.path.exists(out_path)
