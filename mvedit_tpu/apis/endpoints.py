@@ -316,6 +316,44 @@ class EndpointsMixin:
         return out
 
     # ------------------------------------------------------------------
+    def run_texture_superres(self, mesh_path, prompt="", negative_prompt="",
+                             seed=42, steps=None, out_path=None):
+        """Texture super-resolution endpoint (proc_texture_superres,
+        adapter3d.py:578-624): 6 surround + 2 polar reg views, img2img with
+        tile+depth control, texture optimized at the final step only."""
+        from ..pipelines.superres import SuperResConfig, \
+            TextureSuperResPipeline
+        from ..models.fields import INGPConfig
+        from ..ops.dense_grid import DenseGridConfig
+        tiny = self.tiny
+        m = self.load_stable_diffusion()
+        m.controlnets, m.cn_params = self.load_controlnets()
+        pre = self.run_mesh_preproc(mesh_path)
+        mesh = pre["mesh"]
+        c = self.constants
+        poses, intr, reg_poses = C.superres_cameras()
+        all_poses = np.concatenate([poses, reg_poses], axis=0)
+        size = 64 if tiny else 512
+        intr = intr * (size / 512.0)
+        cfg = SuperResConfig(
+            num_views=len(all_poses), render_size=size,
+            atlas_size=128 if tiny else 2048,
+            diffusion_steps=steps or (2 if tiny else 24),
+            n_inverse_steps=8 if tiny else 512,
+            ingp=INGPConfig(
+                backend="dense",
+                dense=DenseGridConfig(
+                    resolutions=(8, 32) if tiny else (32, 160))))
+        pos, neg = self.encode_prompt(
+            m, [prompt] * cfg.num_views, [negative_prompt] * cfg.num_views)
+        pipe = TextureSuperResPipeline(m, cfg)
+        out = pipe(mesh, jnp.asarray(all_poses), jnp.asarray(intr), pos,
+                   neg, jax.random.PRNGKey(seed))
+        if out_path:
+            out["mesh"].write(out_path, flip_yz=True)
+        return out
+
+    # ------------------------------------------------------------------
     def run_stablessdnerf(self, prompt, seed=42, steps=None, cfg_scale=7.0,
                           config_path="configs/ssdnerf_cars.py"):
         """Text -> triplane code sample -> preview render

@@ -92,3 +92,13 @@ def test_run_zero123plus_to_mesh_end_to_end(runner, tmp_path):
         out_path=out_path)
     assert out["mesh"] is not None
     assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
+def test_run_texture_superres_end_to_end(runner, tmp_path):
+    src = _sphere_glb(tmp_path)
+    out_path = str(tmp_path / "sr.glb")
+    out = runner.run_texture_superres(src, "shiny", seed=5,
+                                      out_path=out_path)
+    assert out["mesh"].albedo is not None
+    assert os.path.exists(out_path)
