@@ -1,0 +1,41 @@
+import time, jax, jax.numpy as jnp, numpy as np
+from functools import partial
+from mvedit_tpu.models.volume_renderer import RenderConfig, OccupancyGrid
+from mvedit_tpu.models.fields import INGPConfig, ingp_init, ingp_point_decode
+from mvedit_tpu.ops.dense_grid import DenseGridConfig
+from mvedit_tpu.models import nerf_fit as NF
+from mvedit_tpu.utils import camera
+
+def decode(p, x, cfg=None): return ingp_point_decode(p, x, cfg)
+pose = jnp.asarray(camera.get_pose_from_angles(np.array([0.4]), np.array([0.3]), 2.5)[0, :3])
+intr = jnp.asarray(camera.intrinsics_from_fov(50.0, 128, 128))
+
+def bench_fit(tag, rcfg, icfg, cast_bf16=False, steps=8):
+    params = ingp_init(jax.random.PRNGKey(0), icfg)
+    if cast_bf16:
+        params["table"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params["table"])
+    dfn = partial(decode, cfg=icfg)
+    fcfg = NF.NerfFitConfig(render=rcfg, patch_size=128, patch_bs=1, n_steps=steps, shaded=False)
+    fit, opt = NF.make_nerf_fit(dfn, fcfg, 512)
+    targets = {
+      "images": jnp.zeros((6, 512, 512, 3)), "masks": jnp.ones((6, 512, 512, 1)),
+      "poses": jnp.tile(pose[None], (6, 1, 1)),
+      "intrinsics": jnp.tile(intr[None] * 4, (6, 1)),
+      "cam_weights": jnp.ones((6,)), "cam_lights": jnp.ones((6, 3)) / 3**0.5,
+    }
+    grid0 = OccupancyGrid.create(rcfg.grid_size)
+    os_ = opt.init(params)
+    p2, o2, g2, m = fit(params, os_, grid0, targets, jax.random.PRNGKey(1))
+    float(m["loss"].sum())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        p2, o2, g2, m = fit(p2, o2, g2, targets, jax.random.PRNGKey(2))
+        s = float(m["loss"].sum())
+    print(f"{tag}: {(time.perf_counter()-t0)/3/steps*1e3:.0f} ms/opt-step", flush=True)
+
+d_full = INGPConfig(backend="dense")
+bench_fit("dense(32,160) s48 bf16tab", RenderConfig(num_samples=48, grid_size=64), d_full, cast_bf16=True)
+d_mid = INGPConfig(backend="dense", dense=DenseGridConfig(resolutions=(24, 96), n_features=8))
+bench_fit("dense(24,96) s48", RenderConfig(num_samples=48, grid_size=64), d_mid)
+bench_fit("dense(24,96) s48 bf16tab", RenderConfig(num_samples=48, grid_size=64), d_mid, cast_bf16=True)

@@ -196,3 +196,34 @@ def test_mesh_auto_size():
              f=np.array([[0, 1, 2]], np.int32))
     m.auto_size(0.9)
     assert np.linalg.norm(m.v, axis=-1).max() == pytest.approx(0.9, rel=1e-5)
+
+
+def test_pack_rects_no_overlap():
+    from mvedit_tpu.models.mesh.atlas import pack_rects
+    sizes = [(32, 64), (16, 16), (64, 32), (8, 128)]
+    pos, ah, aw = pack_rects(sizes, max_width=128)
+    boxes = [(y, x, y + h, x + w) for (y, x), (h, w) in zip(pos, sizes)]
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            a, b = boxes[i], boxes[j]
+            overlap = not (a[2] <= b[0] or b[2] <= a[0]
+                           or a[3] <= b[1] or b[3] <= a[1])
+            assert not overlap
+    assert all(b[2] <= ah and b[3] <= aw for b in boxes)
+
+
+def test_merge_meshes_atlas():
+    from mvedit_tpu.models.mesh.atlas import merge_meshes
+    rng = np.random.default_rng(0)
+    m1 = Mesh(v=rng.random((3, 3)).astype(np.float32),
+              f=np.array([[0, 1, 2]], np.int32),
+              albedo=rng.random((16, 16, 3)).astype(np.float32))
+    m1.auto_uv()
+    m2 = Mesh(v=rng.random((3, 3)).astype(np.float32) + 2,
+              f=np.array([[0, 1, 2]], np.int32),
+              vc=np.full((3, 3), 0.3, np.float32))
+    merged = merge_meshes([m1, m2])
+    assert len(merged.v) == 6
+    assert len(merged.f) == 2
+    assert merged.albedo is not None
+    assert (merged.vt >= 0).all() and (merged.vt <= 1).all()
