@@ -39,6 +39,7 @@ class TextureConfig:
     tile_weight: float = 1.0
     depth_weight: float = 0.5
     n_inverse_steps: int = 48
+    views_per_step: int = 4   # random view subset per fit step (render_bs)
     lr: float = 0.01
     patch_rgb_weight: float = 0.0
     blend_mode: str = "dynamic"
@@ -67,28 +68,36 @@ def make_texture_fit(color_fn, cfg: TextureConfig, geom, lpips_params=None):
     evaluation (big MXU matmuls), no rasterization.
     """
     optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
+    vps = min(cfg.views_per_step, cfg.num_views)
 
-    def loss_fn(params, targets):
-        rgb = color_fn(params, geom["xyz"])
-        rgb = rgb * geom["alpha"] + 1.0 * (1 - geom["alpha"])
-        w = geom["weight"] * targets.get("cam_weights_px", 1.0)
-        total = L.l1_loss(rgb, targets["images"], weight=w) * 4.5
+    def loss_fn(params, targets, ids):
+        xyz = geom["xyz"][ids]
+        alpha = geom["alpha"][ids]
+        rgb = color_fn(params, xyz)
+        rgb = rgb * alpha + 1.0 * (1 - alpha)
+        w = geom["weight"][ids] * targets.get("cam_weights_px", 1.0)
+        total = L.l1_loss(rgb, targets["images"][ids], weight=w) * 4.5
         if lpips_params is not None and cfg.patch_rgb_weight > 0:
             total = total + L.lpips_apply(
-                lpips_params, rgb, targets["images"]) * cfg.patch_rgb_weight
+                lpips_params, rgb,
+                targets["images"][ids]) * cfg.patch_rgb_weight
         return total
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def fit(params, opt_state, targets):
-        def step(carry, _):
+    def fit(params, opt_state, targets, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        def step(carry, k):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, targets)
+            ids = jax.random.choice(k, cfg.num_views, (vps,), replace=False)
+            loss, grads = jax.value_and_grad(loss_fn)(params, targets, ids)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
+        keys = jax.random.split(key, cfg.n_inverse_steps)
         (params, opt_state), losses_hist = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.n_inverse_steps)
+            step, (params, opt_state), keys)
         return params, opt_state, losses_hist
 
     return fit, optimizer
