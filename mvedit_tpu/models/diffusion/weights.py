@@ -95,21 +95,32 @@ def _convert(sd, rules, strict=True):
     return unflatten(flat), unmatched
 
 
+# inner attention-tower patterns with {G} placeholders renumbered per prefix
 _ATTN_INNER = [
-    (r"(.*)\.transformer_blocks\.(\d+)\.(attn[12])\.to_out\.0",
-     r"\1/transformer_blocks_\2/\3/to_out_0"),
-    (r"(.*)\.transformer_blocks\.(\d+)\.(attn[12])\.(to_[qkv])",
-     r"\1/transformer_blocks_\2/\3/\4"),
-    (r"(.*)\.transformer_blocks\.(\d+)\.ff\.net\.0\.proj",
-     r"\1/transformer_blocks_\2/ff/net_0_proj"),
-    (r"(.*)\.transformer_blocks\.(\d+)\.ff\.net\.2",
-     r"\1/transformer_blocks_\2/ff/net_2"),
-    (r"(.*)\.transformer_blocks\.(\d+)\.(norm[123])",
-     r"\1/transformer_blocks_\2/\3"),
-    (r"(.*)\.proj_in", r"\1/proj_in"),
-    (r"(.*)\.proj_out", r"\1/proj_out"),
-    (r"(.*)\.norm", r"\1/norm"),
+    (r"\.transformer_blocks\.(\d+)\.(attn[12])\.to_out\.0",
+     "/transformer_blocks_{G1}/{G2}/to_out_0", 2),
+    (r"\.transformer_blocks\.(\d+)\.(attn[12])\.(to_[qkv])",
+     "/transformer_blocks_{G1}/{G2}/{G3}", 3),
+    (r"\.transformer_blocks\.(\d+)\.(attn[12])\.processor"
+     r"\.(ip_to_[kv])", "/transformer_blocks_{G1}/{G2}/{G3}", 3),
+    (r"\.transformer_blocks\.(\d+)\.ff\.net\.0\.proj",
+     "/transformer_blocks_{G1}/ff/net_0_proj", 1),
+    (r"\.transformer_blocks\.(\d+)\.ff\.net\.2",
+     "/transformer_blocks_{G1}/ff/net_2", 1),
+    (r"\.transformer_blocks\.(\d+)\.(norm[123])",
+     "/transformer_blocks_{G1}/{G2}", 2),
+    (r"\.proj_in", "/proj_in", 0),
+    (r"\.proj_out", "/proj_out", 0),
+    (r"\.norm", "/norm", 0),
 ]
+
+
+def _renumber(template, offset):
+    """'{G1}' -> '\\<1+offset>' etc."""
+    out = template
+    for g in range(9, 0, -1):
+        out = out.replace("{G%d}" % g, "\\%d" % (g + offset))
+    return out
 
 
 def _unet_body_rules(prefix=""):
@@ -129,18 +140,17 @@ def _unet_body_rules(prefix=""):
          r"up_\1_upsample/conv"),
         (p + r"mid_block\.resnets\.(\d+)\.(\w+)", r"mid_resnets_\1/\2"),
     ]
-    # attention towers: first rewrite the block prefix, then the inner names
-    for pat, repl in _ATTN_INNER:
+    # attention towers: rewrite the block prefix, renumber inner groups
+    for pat, repl, _ in _ATTN_INNER:
         rules.append((
-            p + r"down_blocks\.(\d+)\.attentions\.(\d+)"
-            + pat[4:],  # strip leading '(.*)'
-            r"down_\1_attentions_\2" + repl[2:]))
+            p + r"down_blocks\.(\d+)\.attentions\.(\d+)" + pat,
+            r"down_\1_attentions_\2" + _renumber(repl, 2)))
         rules.append((
-            p + r"up_blocks\.(\d+)\.attentions\.(\d+)" + pat[4:],
-            r"up_\1_attentions_\2" + repl[2:]))
+            p + r"up_blocks\.(\d+)\.attentions\.(\d+)" + pat,
+            r"up_\1_attentions_\2" + _renumber(repl, 2)))
         rules.append((
-            p + r"mid_block\.attentions\.(\d+)" + pat[4:],
-            r"mid_attentions_\1" + repl[2:]))
+            p + r"mid_block\.attentions\.(\d+)" + pat,
+            r"mid_attentions_\1" + _renumber(repl, 1)))
     return rules
 
 
