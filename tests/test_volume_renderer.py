@@ -164,3 +164,39 @@ def test_ingp_dense_backend_decodes():
     assert sigma.shape == (32,)
     assert rgb.shape == (32, 3)
     assert np.isfinite(np.asarray(sigma)).all()
+
+
+def test_nerf_fit_shaded_path_finite():
+    """Tonemapped lambertian shading + normal targets + entropy/depth terms
+    compile and stay finite (the full MVEdit loss surface)."""
+    render_size = 16
+    rcfg = RenderConfig(num_samples=16, grid_size=8, stratified=True)
+    icfg = INGPConfig(hash=HashGridConfig(n_levels=2, base_resolution=4,
+                                          max_resolution=8,
+                                          log2_hashmap_size=10))
+    N = 2
+    poses = camera.random_surround_views(
+        2.5, N, use_linspace=True, rng=np.random.default_rng(0))[:, :3]
+    intr = np.tile(camera.intrinsics_from_fov(50.0, render_size,
+                                              render_size), (N, 1))
+    targets = {
+        "images": jnp.full((N, render_size, render_size, 3), 0.5),
+        "masks": jnp.ones((N, render_size, render_size, 1)),
+        "normals": jnp.full((N, render_size, render_size, 3), 0.5),
+        "depths": jnp.full((N, render_size, render_size), 0.4),
+        "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+        "cam_weights": jnp.ones((N,)),
+        "cam_lights": jnp.asarray(camera.light_sampling(
+            poses, rng=np.random.default_rng(1))[0]),
+    }
+    fcfg = NF.NerfFitConfig(
+        render=rcfg, patch_size=8, patch_bs=2, n_steps=4, shaded=True,
+        entropy_weight=1.0, depth_weight=0.5)
+    params = ingp_init(jax.random.PRNGKey(1), icfg)
+    fit, optimizer = NF.make_nerf_fit(
+        lambda p, x: ingp_point_decode(p, x, icfg), fcfg, render_size)
+    opt_state = optimizer.init(params)
+    grid = OccupancyGrid.create(rcfg.grid_size)
+    params, opt_state, grid, m = fit(
+        params, opt_state, grid, targets, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(m["loss"])).all()
