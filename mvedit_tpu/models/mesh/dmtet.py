@@ -60,6 +60,20 @@ class TetGrid:
     unique_edges: np.ndarray  # (E, 2) int32, sorted pairs
     tet_edge_idx: np.ndarray  # (T, 6) int32 -> unique edge id
 
+    def arrays(self):
+        """Device-array pytree. Pass this as a TRACED argument into jitted
+        code — closing over the (potentially 100s of MB) numpy arrays bakes
+        them into the program as constants, which blows up compile payloads
+        at tet res >= 64."""
+        if not hasattr(self, "_arrays"):
+            object.__setattr__(self, "_arrays", {
+                "verts": jnp.asarray(self.verts),
+                "tets": jnp.asarray(self.tets),
+                "unique_edges": jnp.asarray(self.unique_edges),
+                "tet_edge_idx": jnp.asarray(self.tet_edge_idx),
+            })
+        return self._arrays
+
     @classmethod
     def build(cls, verts, tets):
         verts = np.asarray(verts, np.float32)
@@ -117,12 +131,12 @@ def build_grid_tets(resolution, radius=1.0, crop_sphere=True):
     return TetGrid.build(verts, tets.astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=("grid",))
-def marching_tets(grid: TetGrid, sdf, deform=None):
+def marching_tets(grid, sdf, deform=None):
     """Extract the zero isosurface.
 
     Args:
-        grid: static TetGrid.
+        grid: TetGrid or its `.arrays()` dict (use the dict inside jitted
+            code so the topology rides as traced args, not constants).
         sdf: (V,) signed distance/occupancy field at grid verts (>0 inside).
         deform: optional (V, 3) vertex offsets.
     Returns dict:
@@ -131,12 +145,13 @@ def marching_tets(grid: TetGrid, sdf, deform=None):
         faces: (2T, 3) int32 edge-vert indices (degenerate 0,0,0 when
         ~face_mask); face_mask: (2T,) bool.
     """
-    pos = jnp.asarray(grid.verts)
+    ga = grid.arrays() if isinstance(grid, TetGrid) else grid
+    pos = ga["verts"]
     if deform is not None:
         pos = pos + deform
-    tets = jnp.asarray(grid.tets)
-    ue = jnp.asarray(grid.unique_edges)
-    te = jnp.asarray(grid.tet_edge_idx)
+    tets = ga["tets"]
+    ue = ga["unique_edges"]
+    te = ga["tet_edge_idx"]
 
     occ = sdf > 0
     # edge vertices: linear zero crossing (ref base_mesh_renderer.py:165-172)

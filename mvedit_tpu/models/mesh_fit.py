@@ -121,13 +121,15 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     tm = Tonemapping()
     optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
     cell = 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1)
+    grid_arrays = grid.arrays()
 
-    def extract(state):
+    def extract(state, ga=None):
         deform = jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
-        return marching_tets(grid, state["sdf"], deform=deform)
+        return marching_tets(ga if ga is not None else grid_arrays,
+                             state["sdf"], deform=deform)
 
-    def loss_fn(state, batch, key):
-        mt = extract(state)
+    def loss_fn(state, batch, key, ga):
+        mt = extract(state, ga)
 
         def shading_fun(xyz, normal, view_dir):
             return color_fn(state["field"], xyz)
@@ -197,13 +199,15 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         return batch
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def fit(state, opt_state, targets, key):
+    def _fit(state, opt_state, targets, key, ga):
+        # tet topology arrives as TRACED args (ga): baking the >100MB numpy
+        # topology in as constants overflows the compiler request payload
         def step(carry, k):
             state, opt_state = carry
             k1, k2 = jax.random.split(k)
             batch = sample_batch(k1, targets)
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state, batch, k2)
+                loss_fn, has_aux=True)(state, batch, k2, ga)
             updates, opt_state = optimizer.update(grads, opt_state, state)
             state = optax.apply_updates(state, updates)
             return (state, opt_state), loss
@@ -212,5 +216,8 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         (state, opt_state), losses_hist = jax.lax.scan(
             step, (state, opt_state), keys)
         return state, opt_state, {"loss": losses_hist}
+
+    def fit(state, opt_state, targets, key):
+        return _fit(state, opt_state, targets, key, grid_arrays)
 
     return fit, optimizer, extract

@@ -254,8 +254,13 @@ class MVEdit3DPipeline:
                         "deform": jnp.zeros((len(tet_grid.verts), 3)),
                     }
                     mcfg = MF.MeshFitConfig(
-                        raster=RasterConfig(height=cfg.render_size,
-                                            width=cfg.render_size),
+                        raster=RasterConfig(
+                            height=cfg.render_size, width=cfg.render_size,
+                            # DMTet soups are many small tris: tight span,
+                            # deep per-tile budget
+                            span=2,
+                            k_per_tile=768 if cfg.render_size >= 256
+                            else 256),
                         n_steps=cfg.n_inverse_steps)
                     mesh_fit_fns = MF.make_mesh_fit(
                         tet_grid,
@@ -324,7 +329,9 @@ class MVEdit3DPipeline:
         out = render_views(
             mt["verts"], mt["faces"], mt["face_mask"], tgt["poses"],
             tgt["intrinsics"],
-            RasterConfig(height=cfg.render_size, width=cfg.render_size),
+            RasterConfig(height=cfg.render_size, width=cfg.render_size,
+                         span=2,
+                         k_per_tile=768 if cfg.render_size >= 256 else 256),
             shading_fun=shading_fun)
         return {"rgb": out["rgb"], "depth": out["depth"],
                 "alpha": out["alpha"]}
