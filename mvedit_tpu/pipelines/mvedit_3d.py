@@ -157,7 +157,8 @@ class MVEdit3DPipeline:
     # ---------------- main ----------------------------------------------
 
     def __call__(self, targets, key, prompt_embeds, negative_embeds,
-                 init_latents=None, progress_callback=None):
+                 init_latents=None, progress_callback=None,
+                 init_field_params=None):
         """Run the full loop.
 
         targets: dict with images (N,H,W,3), masks (N,H,W,1),
@@ -177,7 +178,8 @@ class MVEdit3DPipeline:
 
         # --- init NeRF state -------------------------------------------
         key, k0 = jax.random.split(key)
-        nerf_params = ingp_init(k0, cfg.ingp)
+        nerf_params = (init_field_params if init_field_params is not None
+                       else ingp_init(k0, cfg.ingp))
         grid = OccupancyGrid.create(cfg.render.grid_size)
 
         decode_fn = self._decode_fn

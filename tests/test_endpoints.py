@@ -102,3 +102,15 @@ def test_run_texture_superres_end_to_end(runner, tmp_path):
                                       out_path=out_path)
     assert out["mesh"].albedo is not None
     assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
+def test_run_stablessdnerf_to_mesh_end_to_end(runner, tmp_path):
+    out_path = str(tmp_path / "t23d.glb")
+    out = runner.run_stablessdnerf_to_mesh("a car", seed=7,
+                                           out_path=out_path)
+    # random-weight fields may still extract a surface via the adaptive
+    # threshold; assert the flow completed and produced finite artifacts
+    assert "nerf_params" in out
+    if out["mesh"] is not None:
+        assert os.path.exists(out_path)
