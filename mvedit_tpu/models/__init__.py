@@ -1,3 +1,10 @@
-from . import fields, losses, nerf_fit, volume_renderer
+from . import (fields, losses, nerf_fit, mesh_fit, volume_renderer,
+               triplane, ssdnerf, gaussian_diffusion, ddpm_unet, grm,
+               image_enhancer, inception)
+from . import mesh, diffusion, segmentors
 
-__all__ = ["fields", "losses", "nerf_fit", "volume_renderer"]
+__all__ = [
+    "fields", "losses", "nerf_fit", "mesh_fit", "volume_renderer",
+    "triplane", "ssdnerf", "gaussian_diffusion", "ddpm_unet", "grm",
+    "image_enhancer", "inception", "mesh", "diffusion", "segmentors",
+]

@@ -6,6 +6,9 @@ from .hash_grid import HashGridConfig, hash_grid_init, hash_grid_encode
 from .morton import morton3d, morton3d_invert, packbits
 from .image import (gaussian_blur, highpass, erode, resize_bilinear,
                     edge_dilation)
+from .dense_grid import DenseGridConfig, dense_grid_init, dense_grid_encode
+from .rotation import (matrix_to_quaternion, quaternion_to_matrix,
+                       axis_angle_to_matrix, get_camera_dists, prune_cameras)
 
 __all__ = [
     "trunc_exp", "sh_encode", "Tonemapping",
@@ -13,4 +16,7 @@ __all__ = [
     "HashGridConfig", "hash_grid_init", "hash_grid_encode",
     "morton3d", "morton3d_invert", "packbits",
     "gaussian_blur", "highpass", "erode", "resize_bilinear", "edge_dilation",
+    "DenseGridConfig", "dense_grid_init", "dense_grid_encode",
+    "matrix_to_quaternion", "quaternion_to_matrix", "axis_angle_to_matrix",
+    "get_camera_dists", "prune_cameras",
 ]
