@@ -121,7 +121,10 @@ class EndpointsMixin:
             diffusion_steps=steps,
             n_inverse_steps=n_inverse_steps,
             init_inverse_steps=init_inverse_steps,
-            tet_resolution=16 if tiny else 128,
+            # tet res 64 for now: (F,3) buffers at res 128 (13M faces)
+            # tile-pad 42x and OOM; channel-first mesh layouts are the
+            # round-2 fix
+            tet_resolution=16 if tiny else 64,
             patch_size=16 if tiny else 128,
             ingp=ingp,
             render=RenderConfig(num_samples=32 if tiny else 128,

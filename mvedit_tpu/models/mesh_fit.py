@@ -37,6 +37,8 @@ class MeshFitConfig:
     lr: float = 0.01
     n_steps: int = 80
     render_bs: int = 2
+    reg_face_samples: int = 131072   # faces sampled per step for the
+                                     # laplacian/NC regularizers (0 = all)
     deform_scale: float = 0.5   # deform = tanh(raw) * deform_scale * cell
     pixel_rgb_weight: float = 4.5
     alpha_weight: float = 1.0
@@ -130,6 +132,16 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
 
     def loss_fn(state, batch, key, ga):
         mt = extract(state, ga)
+        # regularizers on a face subsample: full-buffer scatter temporaries
+        # at DMTet scale tile-pad badly on TPU
+        if cfg.reg_face_samples and cfg.reg_face_samples < mt["faces"].shape[0]:
+            rf = jax.random.randint(key, (cfg.reg_face_samples,), 0,
+                                    mt["faces"].shape[0])
+            reg_faces = mt["faces"][rf]
+            reg_mask = mt["face_mask"][rf]
+        else:
+            reg_faces = mt["faces"]
+            reg_mask = mt["face_mask"]
 
         def shading_fun(xyz, normal, view_dir):
             return color_fn(state["field"], xyz)
@@ -170,13 +182,13 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
                 power=1.5) * cfg.normal_reg_weight
             total += n_loss
             metrics["normal"] = n_loss
-        lap = laplacian_loss(mt["verts"], mt["faces"], mt["face_mask"],
+        lap = laplacian_loss(mt["verts"], reg_faces, reg_mask,
                              mt["vert_mask"]) * cfg.laplacian_weight
         total += lap
         metrics["laplacian"] = lap
         if cfg.normal_consistency_weight > 0:
             nc = normal_consistency_loss(
-                mt["verts"], mt["faces"], mt["face_mask"]) \
+                mt["verts"], reg_faces, reg_mask) \
                 * cfg.normal_consistency_weight
             total += nc
             metrics["normal_consistency"] = nc
