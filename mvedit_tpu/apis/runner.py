@@ -82,6 +82,13 @@ class Adapter3DRunner(EndpointsMixin):
                 print(f"[runner] {name}: {len(unmatched)} unconverted keys")
         else:
             params = init_fn()
+        if not self.tiny:
+            # inference-only frozen nets: bf16 params halve HBM (the SD
+            # UNet + 2 ControlNets alone are 6.3GB in fp32)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         self._cache[name] = params
         return params
 

@@ -328,15 +328,19 @@ class MVEdit3DPipeline:
         mt = extract(mesh_state)
         shading_fun = _FieldShading(mesh_state["field"], cfg.ingp)
 
-        out = render_views(
-            mt["verts"], mt["faces"], mt["face_mask"], tgt["poses"],
-            tgt["intrinsics"],
-            RasterConfig(height=cfg.render_size, width=cfg.render_size,
-                         span=2,
-                         k_per_tile=768 if cfg.render_size >= 256 else 256),
-            shading_fun=shading_fun)
-        return {"rgb": out["rgb"], "depth": out["depth"],
-                "alpha": out["alpha"]}
+        rc = RasterConfig(height=cfg.render_size, width=cfg.render_size,
+                          span=2,
+                          k_per_tile=768 if cfg.render_size >= 256 else 256)
+        # one view per call: vmapping all N views multiplies the raster
+        # working set N-fold and OOMs at 512^2
+        outs = [render_views(mt["verts"], mt["faces"], mt["face_mask"],
+                             tgt["poses"][i:i + 1],
+                             tgt["intrinsics"][i:i + 1], rc,
+                             shading_fun=shading_fun)
+                for i in range(cfg.num_views)]
+        return {"rgb": jnp.concatenate([o["rgb"] for o in outs]),
+                "depth": jnp.concatenate([o["depth"] for o in outs]),
+                "alpha": jnp.concatenate([o["alpha"] for o in outs])}
 
     def _extract_and_bake(self, nerf_params, mesh_state, mesh_fit_fns,
                           atlas_size=1024):
