@@ -125,10 +125,15 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     cell = 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1)
     grid_arrays = grid.arrays()
 
-    def extract(state, ga=None):
+    @jax.jit
+    def _extract_jit(state, ga):
+        # jitted: eager marching_tets materializes poorly-tiled (N,3)
+        # temporaries (42x padding) and OOMs at full tet scale
         deform = jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
-        return marching_tets(ga if ga is not None else grid_arrays,
-                             state["sdf"], deform=deform)
+        return marching_tets(ga, state["sdf"], deform=deform)
+
+    def extract(state, ga=None):
+        return _extract_jit(state, ga if ga is not None else grid_arrays)
 
     def loss_fn(state, batch, key, ga):
         mt = extract(state, ga)
