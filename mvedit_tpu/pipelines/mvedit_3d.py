@@ -27,6 +27,7 @@ Schedules ported from the reference: max_num_views(progress) (:45-49),
 render size ramp 128->256->512 (:52-58), lr(progress) (:60-63).
 """
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Optional
@@ -247,6 +248,16 @@ class MVEdit3DPipeline:
                     nerf_params, opt_state, grid, tgt, kf)
             else:
                 if mesh_state is None:
+                    if os.environ.get("MVEDIT_DEBUG_MEM"):
+                        stats = jax.local_devices()[0].memory_stats() or {}
+                        print("[mem@mesh-switch]",
+                              {k: round(v / 2**30, 2)
+                               for k, v in stats.items()
+                               if "bytes_in_use" in k or "limit" in k},
+                              flush=True)
+                    # free the NeRF-phase optimizer state before building
+                    # the mesh phase (hundreds of MB of Adam moments)
+                    del opt_state
                     tet_grid = build_grid_tets(cfg.tet_resolution)
                     sdf0 = MF.init_sdf_from_density(
                         lambda x: decode_fn(nerf_params, x)[0], tet_grid)
