@@ -153,32 +153,41 @@ def marching_tets(grid, sdf, deform=None):
     ue = ga["unique_edges"]
     te = ga["tet_edge_idx"]
 
+    # NOTE on layouts: intermediates are kept channel-first ((3, E) not
+    # (E, 3)) — TPU tiles pad a small trailing dim to 128 inside the
+    # computation, turning (1M, 3) temporaries into 42x their logical size.
     occ = sdf > 0
-    # edge vertices: linear zero crossing (ref base_mesh_renderer.py:165-172)
-    s_a = sdf[ue[:, 0]]
-    s_b = sdf[ue[:, 1]]
-    vert_mask = occ[ue[:, 0]] != occ[ue[:, 1]]
+    ue0 = ue[:, 0]
+    ue1 = ue[:, 1]
+    s_a = sdf[ue0]
+    s_b = sdf[ue1]
+    vert_mask = occ[ue0] != occ[ue1]
     denom = s_a - s_b
     denom = jnp.where(jnp.abs(denom) < 1e-10,
                       jnp.where(denom >= 0, 1e-10, -1e-10), denom)
     w_a = -s_b / denom   # weight on vertex a
     w_b = s_a / denom
-    verts = pos[ue[:, 0]] * w_a[:, None] + pos[ue[:, 1]] * w_b[:, None]
+    pos_t = pos.T                               # (3, V)
+    verts_t = pos_t[:, ue0] * w_a[None] + pos_t[:, ue1] * w_b[None]
+    verts = verts_t.T                           # (E, 3) packed output
 
-    # faces via tet index -> table lookup
-    occ_f = occ[tets]  # (T, 4)
-    tetindex = jnp.sum(
-        occ_f.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8]), axis=-1)
-    tri_tab = jnp.asarray(TRIANGLE_TABLE)[tetindex]        # (T, 6)
-    ntri = jnp.asarray(NUM_TRIANGLES_TABLE)[tetindex]      # (T,)
-    # gather local edge slot -> global edge-vertex id
-    safe_tab = jnp.clip(tri_tab, 0, 5)
-    global_ids = jnp.take_along_axis(te, safe_tab, axis=1)  # (T, 6)
-    faces = global_ids.reshape(-1, 2, 3).reshape(-1, 3)     # (2T, 3)
-    t_ids = jnp.arange(faces.shape[0]) % 2
-    face_mask = t_ids < ntri.repeat(2).reshape(-1, 2).reshape(-1)[
-        jnp.arange(faces.shape[0])] if False else (
-        jnp.repeat(ntri, 2) > jnp.tile(jnp.asarray([0, 1]), ntri.shape[0]))
-    faces = jnp.where(face_mask[:, None], faces, 0)
+    # faces via tet index -> table lookup, channel-first
+    occ_t = occ[tets.T].astype(jnp.int32)       # (4, T)
+    tetindex = (occ_t[0] + 2 * occ_t[1] + 4 * occ_t[2]
+                + 8 * occ_t[3])                 # (T,)
+    tri_tab_t = jnp.asarray(TRIANGLE_TABLE).T[:, tetindex]   # (6, T)
+    ntri = jnp.asarray(NUM_TRIANGLES_TABLE)[tetindex]        # (T,)
+    safe_tab_t = jnp.clip(tri_tab_t, 0, 5)
+    global_ids_t = jnp.take_along_axis(te.T, safe_tab_t, axis=0)  # (6, T)
+    # (6, T) -> faces (2T, 3): rows 0-2 = tri0, rows 3-5 = tri1
+    tri0 = global_ids_t[:3]                     # (3, T)
+    tri1 = global_ids_t[3:]                     # (3, T)
+    mask0 = ntri > 0
+    mask1 = ntri > 1
+    faces_t = jnp.concatenate(
+        [jnp.where(mask0[None], tri0, 0),
+         jnp.where(mask1[None], tri1, 0)], axis=1)  # (3, 2T)
+    faces = faces_t.T
+    face_mask = jnp.concatenate([mask0, mask1])
     return {"verts": verts, "vert_mask": vert_mask, "faces": faces,
             "face_mask": face_mask}
