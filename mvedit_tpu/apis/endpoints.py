@@ -124,7 +124,7 @@ class EndpointsMixin:
             # tet res 64 for now: (F,3) buffers at res 128 (13M faces)
             # tile-pad 42x and OOM; channel-first mesh layouts are the
             # round-2 fix
-            tet_resolution=16 if tiny else 64,
+            tet_resolution=16 if tiny else 48,
             patch_size=16 if tiny else 128,
             ingp=ingp,
             render=RenderConfig(num_samples=32 if tiny else 128,

@@ -232,7 +232,11 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         keys = jax.random.split(key, cfg.n_steps)
         (state, opt_state), losses_hist = jax.lax.scan(
             step, (state, opt_state), keys)
-        return state, opt_state, {"loss": losses_hist}
+        # return the extraction too: callers reuse it instead of running a
+        # separate extraction program (whose un-donated workspace OOMs when
+        # HBM is near-full at production scale)
+        mt = extract(state, ga)
+        return state, opt_state, {"loss": losses_hist, "mt": mt}
 
     def fit(state, opt_state, targets, key):
         return _fit(state, opt_state, targets, key, grid_arrays)

@@ -280,8 +280,9 @@ class MVEdit3DPipeline:
                         partial(_ingp_color, ingp_cfg=cfg.ingp), mcfg)
                     mesh_opt_state = mesh_fit_fns[1].init(mesh_state)
                 mfit, _, _ = mesh_fit_fns
-                mesh_state, mesh_opt_state, _ = mfit(
+                mesh_state, mesh_opt_state, fit_out = mfit(
                     mesh_state, mesh_opt_state, tgt, kf)
+                self._last_mt = fit_out["mt"]
 
             # ---- re-render all views -> ctrl inputs + eps_3d ----
             renders = self._render_all(nerf_params, mesh_state,
@@ -335,8 +336,10 @@ class MVEdit3DPipeline:
                 "depth": jnp.stack([o["depth"] for o in outs]),
                 "alpha": jnp.stack([o["alpha"] for o in outs])[..., None],
             }
-        _, _, extract = mesh_fit_fns
-        mt = extract(mesh_state)
+        mt = getattr(self, "_last_mt", None)
+        if mt is None:
+            _, _, extract = mesh_fit_fns
+            mt = extract(mesh_state)
         shading_fun = _FieldShading(mesh_state["field"], cfg.ingp)
 
         rc = RasterConfig(height=cfg.render_size, width=cfg.render_size,
@@ -358,8 +361,10 @@ class MVEdit3DPipeline:
         cfg = self.cfg
         if mesh_state is None:
             return None
-        _, _, extract = mesh_fit_fns
-        mt = extract(mesh_state)
+        mt = getattr(self, "_last_mt", None)
+        if mt is None:
+            _, _, extract = mesh_fit_fns
+            mt = extract(mesh_state)
         verts = np.asarray(mt["verts"])
         faces = np.asarray(mt["faces"])
         fmask = np.asarray(mt["face_mask"])
