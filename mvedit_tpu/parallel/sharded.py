@@ -79,12 +79,28 @@ def make_sharded_nerf_step(point_decode_fn, render_cfg, mesh, lr=1e-2):
 def dryrun(n_devices: int) -> None:
     """Driver hook: build an n-device mesh, jit the full sharded steps
     (denoise over views + NeRF fit over rays), run one step on tiny shapes."""
+    # the axon sitecustomize registers its TPU backend regardless of
+    # JAX_PLATFORMS; force the virtual CPU mesh BEFORE any device query
+    # (jax.devices() itself initializes backends and locks the config)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except RuntimeError:
+        pass  # backends already up; fall through to the count check
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices but only "
+            f"{len(jax.devices())} exist and backends are already "
+            "initialized; run dryrun_multichip in a fresh process")
+
     from ..models.diffusion import UNet2DCondition, UNetConfig, AttnMode
     from ..models.fields import INGPConfig, ingp_init, ingp_point_decode
     from ..models.volume_renderer import RenderConfig
     from ..ops.hash_grid import HashGridConfig
 
     mesh = make_mesh(n_devices)
+    assert len(mesh.devices.ravel()) == n_devices, \
+        f"mesh has {len(mesh.devices.ravel())} devices, wanted {n_devices}"
     n_dev = len(mesh.devices.ravel())
 
     # --- sharded multiview denoise step ---
