@@ -194,8 +194,8 @@ class Mesh:
         if self.albedo is not None:
             from PIL import Image
             Image.fromarray(
-                (np.clip(self.albedo, 0, 1) * 255).astype(np.uint8)
-            ).save(mtl + ".png")
+                (np.clip(np.nan_to_num(self.albedo), 0, 1) * 255
+                 ).astype(np.uint8)).save(mtl + ".png")
             with open(mtl + ".mtl", "w") as fh:
                 fh.write("newmtl default\nKd 1 1 1\n"
                          f"map_Kd {mtl.split('/')[-1]}.png\n")
@@ -289,8 +289,9 @@ class Mesh:
             attributes["TEXCOORD_0"] = len(accessors) - 1
             from PIL import Image
             bio = io.BytesIO()
-            Image.fromarray((np.clip(m.albedo, 0, 1) * 255
-                             ).astype(np.uint8)).save(bio, format="png")
+            tex8 = (np.clip(np.nan_to_num(m.albedo), 0, 1)
+                    * 255).astype(np.uint8)
+            Image.fromarray(tex8).save(bio, format="png")
             off, ln = add(np.frombuffer(bio.getvalue(), np.uint8))
             views.append({"buffer": 0, "byteOffset": off, "byteLength": ln})
             images.append({"bufferView": len(views) - 1,
