@@ -28,13 +28,16 @@ from .mesh.renderer import render_views
 from . import losses as L
 
 __all__ = ["MeshFitConfig", "init_sdf_from_density", "laplacian_loss",
-           "normal_consistency_loss", "make_mesh_fit"]
+           "normal_consistency_loss", "make_mesh_fit",
+           "make_texture_refine", "default_mesh_schedule_weights"]
 
 
 @dataclass(frozen=True)
 class MeshFitConfig:
     raster: RasterConfig
     lr: float = 0.01
+    sdf_lr_scale: float = 0.04  # sdf/deform lr = lr * this
+                                # (mvedit_3d_pipeline.py:688-689)
     n_steps: int = 80
     render_bs: int = 2
     reg_face_samples: int = 131072   # faces sampled per step for the
@@ -43,12 +46,22 @@ class MeshFitConfig:
     pixel_rgb_weight: float = 4.5
     alpha_weight: float = 1.0
     normal_reg_weight: float = 4.0
+    patch_rgb_weight: float = 0.0      # LPIPS (scheduled, traced)
+    patch_normal_weight: float = 0.0
+    patch_size: int = 128              # LPIPS crop size
     laplacian_weight: float = 0.25
     normal_consistency_weight: float = 0.25
     ambient_light: float = 0.3
     bg_color: float = 1.0
     shaded: bool = True
     ssaa: int = 1
+
+
+def default_mesh_schedule_weights(cfg: "MeshFitConfig"):
+    return {"lr": cfg.lr, "sdf_lr_mult": 1.0,
+            "normal_reg": cfg.normal_reg_weight,
+            "patch_rgb": cfg.patch_rgb_weight,
+            "patch_normal": cfg.patch_normal_weight}
 
 
 def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05,
@@ -121,7 +134,7 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     cam_lights as in nerf_fit.
     """
     tm = Tonemapping()
-    optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
     cell = 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1)
     grid_arrays = grid.arrays()
 
@@ -135,7 +148,7 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     def extract(state, ga=None):
         return _extract_jit(state, ga if ga is not None else grid_arrays)
 
-    def loss_fn(state, batch, key, ga):
+    def loss_fn(state, batch, key, ga, sw, lpips_params):
         mt = extract(state, ga)
         # regularizers on a face subsample: full-buffer scatter temporaries
         # at DMTet scale tile-pad badly on TPU
@@ -180,13 +193,42 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         total += a_loss
         metrics["alpha"] = a_loss
         if "normal" in batch:
-            # normal map in [0,1] camera space vs target
-            n_loss = L.tv_loss(
-                jnp.moveaxis(n_img, -1, 1),
-                jnp.moveaxis(batch["normal"], -1, 1) * 2 - 1,
-                power=1.5) * cfg.normal_reg_weight
+            # normal map in [0,1] camera space vs target; per-view target
+            # validity via normal_weight (only view 0 has an Omnidata map
+            # in image-to-3D, mvedit_3d_pipeline.py:248-303)
+            nx = jnp.moveaxis(n_img, -1, 1)
+            nt = jnp.moveaxis(batch["normal"], -1, 1) * 2 - 1
+            if "normal_weight" in batch:
+                # tv_loss differentiates the weight map spatially too —
+                # give it full (B, C, H, W) maps, not broadcastable 1s
+                nw = jnp.broadcast_to(
+                    batch["normal_weight"][:, None, None, None], nx.shape)
+                n_loss = (L.tv_loss(nx, nt, weight=nw, power=1.5)
+                          + L.tv_loss(nx, None, weight=1 - nw, power=1.5))
+            else:
+                n_loss = L.tv_loss(nx, nt, power=1.5)
+            n_loss = n_loss * sw["normal_reg"]
             total += n_loss
             metrics["normal"] = n_loss
+        if lpips_params is not None:
+            ps = min(cfg.patch_size, cfg.raster.height)
+            k_oy, k_ox = jax.random.split(jax.random.fold_in(key, 7))
+            nb = rgb.shape[0]
+            oy = jax.random.randint(k_oy, (nb,), 0,
+                                    cfg.raster.height - ps + 1)
+            ox = jax.random.randint(k_ox, (nb,), 0,
+                                    cfg.raster.width - ps + 1)
+
+            def crop(img, y, x):
+                return jax.lax.dynamic_slice(img, (y, x, 0), (ps, ps, 3))
+
+            pr = jax.vmap(crop)(rgb, oy, ox)
+            pt = jax.vmap(crop)(batch["rgb"], oy, ox)
+            p_loss = L.lpips_apply(lpips_params, pr, pt,
+                                   weight=batch["cam_weight"]) \
+                * sw["patch_rgb"]
+            total += p_loss
+            metrics["patch_rgb"] = p_loss
         lap = laplacian_loss(mt["verts"], reg_faces, reg_mask,
                              mt["vert_mask"]) * cfg.laplacian_weight
         total += lap
@@ -213,19 +255,32 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
                  "cam_lights": targets["cam_lights"][ids]}
         if "normals" in targets:
             batch["normal"] = targets["normals"][ids]
+            if "normal_weights" in targets:
+                batch["normal_weight"] = targets["normal_weights"][ids]
         return batch
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def _fit(state, opt_state, targets, key, ga):
+    def _fit(state, opt_state, targets, key, ga, sched=None,
+             lpips_params=None):
         # tet topology arrives as TRACED args (ga): baking the >100MB numpy
         # topology in as constants overflows the compiler request payload
+        sw = default_mesh_schedule_weights(cfg) if sched is None else sched
+
         def step(carry, k):
             state, opt_state = carry
             k1, k2 = jax.random.split(k)
             batch = sample_batch(k1, targets)
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state, batch, k2, ga)
+                loss_fn, has_aux=True)(state, batch, k2, ga, sw,
+                                       lpips_params)
             updates, opt_state = optimizer.update(grads, opt_state, state)
+            # per-subtree lr: field at lr, sdf/deform at lr * sdf_lr_scale
+            # (* lr multiplier near the end, mvedit_3d_pipeline.py:688-689)
+            sdf_lr = sw["lr"] * cfg.sdf_lr_scale * sw["sdf_lr_mult"]
+            updates = {
+                k_: jax.tree_util.tree_map(
+                    lambda u: u * (-sw["lr"] if k_ == "field" else -sdf_lr),
+                    v) for k_, v in updates.items()}
             state = optax.apply_updates(state, updates)
             return (state, opt_state), loss
 
@@ -238,7 +293,102 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         mt = extract(state, ga)
         return state, opt_state, {"loss": losses_hist, "mt": mt}
 
-    def fit(state, opt_state, targets, key):
-        return _fit(state, opt_state, targets, key, grid_arrays)
+    def fit(state, opt_state, targets, key, sched=None, lpips_params=None):
+        return _fit(state, opt_state, targets, key, grid_arrays,
+                    sched=sched, lpips_params=lpips_params)
 
     return fit, optimizer, extract
+
+
+def make_texture_refine(color_fn, cfg: MeshFitConfig, n_steps: int = 24):
+    """Texture-only refinement on a FIXED (decimated) mesh.
+
+    The reference's final mesh_optim steps after quadric decimation
+    (`mvedit_3d_pipeline.py:827-847,925`): the simplified mesh is frozen
+    and only the albedo field keeps optimizing. Returns a jitted
+    `refine(field_params, opt_state, verts, faces, targets, key,
+    sched=None, lpips_params=None)`.
+    """
+    tm = Tonemapping()
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+
+    def loss_fn(field, batch, verts, faces, fmask, sw, lpips_params, key):
+        def shading_fun(xyz, normal, view_dir):
+            return color_fn(field, xyz)
+
+        out = render_views(verts, faces, fmask, batch["poses"],
+                           batch["intrinsics"], cfg.raster,
+                           shading_fun=shading_fun, ssaa=cfg.ssaa,
+                           bg_color=cfg.bg_color)
+        alpha = out["alpha"]
+        albedo = out["rgb"]
+        if cfg.shaded:
+            lam = jnp.clip(jnp.sum(
+                batch["cam_lights"][:, None, None, :] * out["normal"],
+                axis=-1, keepdims=True), 0.0, None)
+            shading = lam * (1 - cfg.ambient_light) + cfg.ambient_light
+            fg = jnp.clip((albedo - cfg.bg_color * (1 - alpha))
+                          / jnp.clip(alpha, 1e-6, None), 1e-4, 1.0)
+            rgb = tm.lut(tm.inverse_lut(fg)
+                         + jnp.log2(jnp.clip(shading, 1e-6, None)))
+            rgb = rgb * alpha + cfg.bg_color * (1 - alpha)
+        else:
+            rgb = albedo
+        w = (batch["cam_weight"]
+             / jnp.clip(jnp.mean(batch["cam_weight"]), 1e-6, None)
+             )[:, None, None, None]
+        total = L.l1_loss(rgb, batch["rgb"], weight=w) * cfg.pixel_rgb_weight
+        if lpips_params is not None:
+            ps = min(cfg.patch_size, cfg.raster.height)
+            k_oy, k_ox = jax.random.split(key)
+            nb = rgb.shape[0]
+            oy = jax.random.randint(k_oy, (nb,), 0,
+                                    cfg.raster.height - ps + 1)
+            ox = jax.random.randint(k_ox, (nb,), 0,
+                                    cfg.raster.width - ps + 1)
+
+            def crop(img, y, x):
+                return jax.lax.dynamic_slice(img, (y, x, 0), (ps, ps, 3))
+
+            pr = jax.vmap(crop)(rgb, oy, ox)
+            pt = jax.vmap(crop)(batch["rgb"], oy, ox)
+            total += L.lpips_apply(lpips_params, pr, pt,
+                                   weight=batch["cam_weight"]) \
+                * sw["patch_rgb"]
+        return total
+
+    def sample_batch(key, targets):
+        p = (targets["cam_weights"] > 0).astype(jnp.float32)
+        ids = jax.random.categorical(
+            key, jnp.log(jnp.clip(p, 1e-9, None))[None].repeat(
+                cfg.render_bs, 0))
+        return {"poses": targets["poses"][ids],
+                "intrinsics": targets["intrinsics"][ids],
+                "rgb": targets["images"][ids],
+                "cam_weight": targets["cam_weights"][ids],
+                "cam_lights": targets["cam_lights"][ids]}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def refine(field, opt_state, verts, faces, targets, key, sched=None,
+               lpips_params=None):
+        sw = default_mesh_schedule_weights(cfg) if sched is None else sched
+        fmask = jnp.ones((faces.shape[0],), bool)
+
+        def step(carry, k):
+            field, opt_state = carry
+            k1, k2 = jax.random.split(k)
+            batch = sample_batch(k1, targets)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                field, batch, verts, faces, fmask, sw, lpips_params, k2)
+            updates, opt_state = optimizer.update(grads, opt_state, field)
+            updates = jax.tree_util.tree_map(
+                lambda u: u * (-sw["lr"]), updates)
+            field = optax.apply_updates(field, updates)
+            return (field, opt_state), loss
+
+        keys = jax.random.split(key, n_steps)
+        (field, opt_state), losses = jax.lax.scan(
+            step, (field, opt_state), keys)
+        return field, opt_state, losses
+
+    return refine, optimizer

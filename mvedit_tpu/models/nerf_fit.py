@@ -33,7 +33,8 @@ from . import losses as L
 from .volume_renderer import (RenderConfig, OccupancyGrid, render_rays,
                               update_density_grid)
 
-__all__ = ["NerfFitConfig", "NerfTargets", "make_nerf_fit", "render_image"]
+__all__ = ["NerfFitConfig", "NerfTargets", "make_nerf_fit", "render_image",
+           "default_schedule_weights"]
 
 
 @dataclass(frozen=True)
@@ -143,6 +144,8 @@ def _sample_patch(key, tgt, cfg: NerfFitConfig, render_size):
     out["rays_d"] = rays_d.reshape(cfg.patch_bs, ps, ps, 3)
     out["cam_weight"] = tgt["cam_weights"][cam_ids]
     out["cam_light"] = tgt["cam_lights"][cam_ids]
+    if "normal_weights" in tgt:
+        out["normal_weight"] = tgt["normal_weights"][cam_ids]
     return out
 
 
@@ -160,22 +163,46 @@ def _shade(rgb, alpha, normal_fg, light, tm: Tonemapping, cfg: NerfFitConfig):
     return shaded * alpha + cfg.bg_color * (1 - alpha)
 
 
+def default_schedule_weights(cfg: NerfFitConfig):
+    """Traced-scalar schedule weights, defaulting to the static config
+    values (progress-scheduled by the MVEdit pipeline per
+    mvedit_3d_pipeline.py:60-78)."""
+    return {"lr": cfg.lr, "entropy": cfg.entropy_weight,
+            "patch_rgb": cfg.patch_rgb_weight,
+            "patch_normal": cfg.patch_normal_weight,
+            "normal_reg": cfg.normal_reg_weight}
+
+
 def make_nerf_fit(point_decode_fn: Callable, cfg: NerfFitConfig,
                   render_size: int, use_shading: bool = None,
-                  lpips_params=None):
-    """Build a jitted `fit(params, opt_state, grid, targets, key) ->
-    (params, opt_state, grid, metrics)` running cfg.n_steps Adam steps.
+                  use_lpips: bool = False, mesh=None):
+    """Build a jitted `fit(params, opt_state, grid, targets, key,
+    sched=None, lpips_params=None) -> (params, opt_state, grid, metrics)`
+    running cfg.n_steps Adam steps.
 
-    point_decode_fn(params, xyz) -> (sigma, rgb).
+    point_decode_fn(params, xyz) -> (sigma, rgb). `sched` is an optional
+    dict of traced schedule scalars (see `default_schedule_weights`) so
+    the pipeline's progress schedules do not retrigger compilation;
+    `lpips_params` (required when use_lpips) rides as a traced arg so the
+    VGG weights do not bloat the compile payload.
     """
     tm = Tonemapping()
     shaded = cfg.shaded if use_shading is None else use_shading
-    optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
 
-    def loss_fn(params, grid, patch, key):
+    def loss_fn(params, grid, patch, key, sw, lpips_params):
         B, ps = cfg.patch_bs, cfg.patch_size
         rays_o = patch["rays_o"].reshape(-1, 3)
         rays_d = patch["rays_d"].reshape(-1, 3)
+        if mesh is not None:
+            # shard the ray axis over the device mesh: the field evals
+            # (the FLOPs) split across chips; the mean-loss grad emits one
+            # psum over ICI (DDP equivalent inside one program,
+            # SURVEY §2.7 TPU note)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(mesh, P("dp", None))
+            rays_o = jax.lax.with_sharding_constraint(rays_o, spec)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, spec)
         out = render_rays(partial(point_decode_fn, params), rays_o, rays_d,
                           cfg.render, grid=grid, key=key, bg_color=None)
         rgb = out["rgb"].reshape(B, ps, ps, 3)
@@ -205,21 +232,33 @@ def make_nerf_fit(point_decode_fn: Callable, cfg: NerfFitConfig,
             -jax.lax.stop_gradient(alpha[..., 0]), -jnp.inf, jax.lax.max,
             (1, 3, 3), (1, 1, 1), [(0, 0), (1, 1), (1, 1)])[..., None]
         tgt_n = patch.get("normal")
-        n_loss = L.tv_loss(
-            jnp.moveaxis(normal_fg, -1, 1),
-            None if tgt_n is None else jnp.moveaxis(tgt_n, -1, 1),
-            weight=jnp.moveaxis(nf_w, -1, 1),
-            power=1.5) * (cfg.normal_reg_weight * 10)
+        # per-view normal-target validity (e.g. only view 0 has an Omnidata
+        # normal map, mvedit_3d_pipeline.py:248-303): blend the supervised
+        # TV (toward target) and unsupervised TV by the per-view weight
+        n_tv_w = jnp.moveaxis(nf_w, -1, 1)
+        if tgt_n is not None and "normal_weight" in patch:
+            nw = patch["normal_weight"][:, None, None, None]
+            n_loss = (
+                L.tv_loss(jnp.moveaxis(normal_fg, -1, 1),
+                          jnp.moveaxis(tgt_n, -1, 1),
+                          weight=n_tv_w * nw, power=1.5)
+                + L.tv_loss(jnp.moveaxis(normal_fg, -1, 1), None,
+                            weight=n_tv_w * (1 - nw), power=1.5))
+        else:
+            n_loss = L.tv_loss(
+                jnp.moveaxis(normal_fg, -1, 1),
+                None if tgt_n is None else jnp.moveaxis(tgt_n, -1, 1),
+                weight=n_tv_w, power=1.5)
+        n_loss = n_loss * (sw["normal_reg"] * 10)
         total += n_loss
         metrics["normal_reg"] = n_loss
 
-        if cfg.entropy_weight > 0:
-            e_loss = L.entropy_loss(
-                out["weights"], out["deltas"], out["alpha"],
-                bg_width=cfg.bg_width,
-                num_pixels=B * ps * ps) * cfg.entropy_weight
-            total += e_loss
-            metrics["entropy"] = e_loss
+        e_loss = L.entropy_loss(
+            out["weights"], out["deltas"], out["alpha"],
+            bg_width=cfg.bg_width,
+            num_pixels=B * ps * ps) * sw["entropy"]
+        total += e_loss
+        metrics["entropy"] = e_loss
 
         if cfg.depth_weight > 0 and "depth" in patch:
             d_loss = L.l1_loss(inv_z, patch["depth"], weight=w[..., 0]) \
@@ -227,24 +266,31 @@ def make_nerf_fit(point_decode_fn: Callable, cfg: NerfFitConfig,
             total += d_loss
             metrics["depth"] = d_loss
 
-        if lpips_params is not None and cfg.patch_rgb_weight > 0:
+        if lpips_params is not None:
             p_loss = L.lpips_apply(lpips_params, out_rgb, patch["rgb"],
-                                   weight=patch["cam_weight"]) * cfg.patch_rgb_weight
+                                   weight=patch["cam_weight"]) \
+                * sw["patch_rgb"]
             total += p_loss
             metrics["patch_rgb"] = p_loss
-        if lpips_params is not None and cfg.patch_normal_weight > 0 and tgt_n is not None:
-            mask_a = alpha
-            out_n = normal_fg * mask_a + jnp.array(cfg.normal_bg) * (1 - mask_a)
-            hp = lambda im: jnp.moveaxis(
-                highpass(jnp.moveaxis(im, -1, 1)), 1, -1)
-            pn_loss = L.lpips_apply(lpips_params, hp(out_n), hp(tgt_n),
-                                    weight=patch["cam_weight"]) * cfg.patch_normal_weight
-            total += pn_loss
-            metrics["patch_normal"] = pn_loss
+            if tgt_n is not None:
+                mask_a = alpha
+                out_n = normal_fg * mask_a \
+                    + jnp.array(cfg.normal_bg) * (1 - mask_a)
+                hp = lambda im: jnp.moveaxis(
+                    highpass(jnp.moveaxis(im, -1, 1)), 1, -1)
+                pn_w = patch["cam_weight"]
+                if "normal_weight" in patch:
+                    pn_w = pn_w * patch["normal_weight"]
+                pn_loss = L.lpips_apply(lpips_params, hp(out_n), hp(tgt_n),
+                                        weight=pn_w) * sw["patch_normal"]
+                total += pn_loss
+                metrics["patch_normal"] = pn_loss
         return total, metrics
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def fit(params, opt_state, grid: OccupancyGrid, targets: dict, key):
+    def fit(params, opt_state, grid: OccupancyGrid, targets: dict, key,
+            sched=None, lpips_params=None):
+        sw = default_schedule_weights(cfg) if sched is None else sched
         targets = dict(targets)
         targets["masks_soft"] = _soften_masks(targets["masks"], cfg)
 
@@ -253,8 +299,11 @@ def make_nerf_fit(point_decode_fn: Callable, cfg: NerfFitConfig,
             k_patch, k_ray, k_grid = jax.random.split(k, 3)
             patch = _sample_patch(k_patch, targets, cfg, render_size)
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, grid, patch, k_ray)
+                loss_fn, has_aux=True)(params, grid, patch, k_ray, sw,
+                                       lpips_params if use_lpips else None)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u: u * (-sw["lr"]), updates)
             params = optax.apply_updates(params, updates)
 
             def refresh(g):

@@ -1,5 +1,5 @@
 from .sharded import (make_mesh, make_sharded_denoise_step,
-                      make_sharded_nerf_step, dryrun)
+                      make_sharded_nerf_step, dryrun, dryrun_pipeline)
 
 __all__ = ["make_mesh", "make_sharded_denoise_step",
-           "make_sharded_nerf_step", "dryrun"]
+           "make_sharded_nerf_step", "dryrun", "dryrun_pipeline"]

@@ -22,7 +22,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_sharded_denoise_step",
-           "make_sharded_nerf_step", "dryrun"]
+           "make_sharded_nerf_step", "dryrun", "dryrun_pipeline"]
 
 
 def make_mesh(n_devices=None, axis="dp", devices=None):
@@ -77,8 +77,12 @@ def make_sharded_nerf_step(point_decode_fn, render_cfg, mesh, lr=1e-2):
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: build an n-device mesh, jit the full sharded steps
-    (denoise over views + NeRF fit over rays), run one step on tiny shapes."""
+    """Driver hook: build an n-device mesh and run the REAL MVEdit 3D
+    pipeline (denoise p1/p2 + VAE + NeRF/DMTet fits + render + solver)
+    for a few timesteps with the view batches sharded over 'dp' and the
+    fit's ray axis sharded via with_sharding_constraint — the same code
+    path `MVEdit3DPipeline` takes in production when models.device_mesh
+    is set."""
     # the axon sitecustomize registers its TPU backend regardless of
     # JAX_PLATFORMS; force the virtual CPU mesh BEFORE any device query
     # (jax.devices() itself initializes backends and locks the config)
@@ -93,46 +97,44 @@ def dryrun(n_devices: int) -> None:
             f"{len(jax.devices())} exist and backends are already "
             "initialized; run dryrun_multichip in a fresh process")
 
-    from ..models.diffusion import UNet2DCondition, UNetConfig, AttnMode
-    from ..models.fields import INGPConfig, ingp_init, ingp_point_decode
-    from ..models.volume_renderer import RenderConfig
-    from ..ops.hash_grid import HashGridConfig
-
     mesh = make_mesh(n_devices)
     assert len(mesh.devices.ravel()) == n_devices, \
         f"mesh has {len(mesh.devices.ravel())} devices, wanted {n_devices}"
-    n_dev = len(mesh.devices.ravel())
+    out = dryrun_pipeline(mesh)
+    assert out["mesh_state"] is not None
+    rgb = out["renders"]["rgb"]
+    jax.block_until_ready(rgb)
+    assert bool(jnp.isfinite(rgb).all())
 
-    # --- sharded multiview denoise step ---
-    views = n_dev  # one view per device; CFG doubles the batch
-    cfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
-                     attn_down=(True, False), cross_attention_dim=32,
-                     num_heads=4, dtype=jnp.float32)
-    net = UNet2DCondition(cfg)
-    B = 2 * views
-    x = jnp.zeros((B, 16, 16, 4))
-    t = jnp.full((B,), 500, jnp.int32)
-    ctx = jnp.zeros((B, 8, 32))
-    params = net.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])
-    step = make_sharded_denoise_step(net, mesh, AttnMode(num_views=views))
-    out = step(params, x, t, ctx)
-    assert out.shape == (B, 16, 16, 4)
-    jax.block_until_ready(out)
 
-    # --- sharded NeRF fit step ---
-    icfg = INGPConfig(hash=HashGridConfig(n_levels=2, base_resolution=4,
-                                          max_resolution=8,
-                                          log2_hashmap_size=10))
-    rcfg = RenderConfig(num_samples=8, grid_size=8, stratified=False)
-    nerf_params = ingp_init(jax.random.PRNGKey(1), icfg)
-    fit_step, opt = make_sharded_nerf_step(
-        lambda p, xx: ingp_point_decode(p, xx, icfg), rcfg, mesh)
-    opt_state = opt.init(nerf_params)
-    R = 16 * n_dev
-    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (R, 1))
-    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
-    tgt = jnp.ones((R, 3)) * 0.5
-    nerf_params, opt_state, loss = fit_step(
-        nerf_params, opt_state, rays_o, rays_d, tgt)
-    jax.block_until_ready(loss)
-    assert jnp.isfinite(loss)
+def dryrun_pipeline(mesh, num_views=None, steps=3, seed=0):
+    """Run the full tiny MVEdit 3D pipeline sharded over `mesh`.
+
+    num_views defaults to half the device count so the 2N CFG batch puts
+    exactly one view-image per device.
+    """
+    from ..testing import make_tiny_models, make_tiny_mvedit_cfg
+    from ..pipelines import MVEdit3DPipeline
+    from ..apis.cameras import surround_rig
+    from ..utils import camera as cam_utils
+
+    n_dev = mesh.devices.size
+    N = num_views if num_views is not None else max(n_dev // 2, 2)
+    m = make_tiny_models(jax.random.PRNGKey(seed))
+    m.device_mesh = mesh
+    size = 32
+    cfg = make_tiny_mvedit_cfg(num_views=N, render_size=size, steps=steps,
+                               nerf_switch_progress=0.5)
+    rng = np.random.default_rng(seed)
+    poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {
+        "images": jnp.ones((N, size, size, 3)) * 0.5,
+        "masks": jnp.ones((N, size, size, 1)),
+        "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+        "cam_weights": jnp.ones((N,)),
+        "cam_lights": jnp.asarray(lights),
+    }
+    embeds = jnp.zeros((N, 8, 32))
+    pipe = MVEdit3DPipeline(m, cfg)
+    return pipe(targets, jax.random.PRNGKey(seed + 1), embeds, embeds)

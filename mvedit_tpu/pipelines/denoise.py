@@ -2,24 +2,26 @@
 
 Rebuilds `lib/pipelines/adapter3d_mixin.py:68-317` as compiled functions:
 
-- 1-pass: MultiControlNet(tile, depth, ...) -> UNet, CFG combine
-  `gs * cond + (1 - gs) * uncond` (:130-135);
-- 2-pass: pass 1 runs the UNet encoder once and the decoder WITHOUT tile
-  control (x0 estimation for the 3D fuse), pass 2 re-runs only the DECODER
-  with tile(+depth) ControlNet residuals injected (:137-317) — the encoder
-  state is reused, saving ~40% of UNet FLOPs;
-- reference-view concat: latents of shape (B, 2h, w) are split into
-  (ref, target) image pairs that jointly self-attend (num_views=2 trick,
-  :86-127); ControlNet only sees the target half and its residuals are
-  zero-padded for the reference half.
+- 1-pass (`get_noise_pred` :68-135): ALL ControlNets (tile, depth, extras
+  such as ip2p) -> UNet, CFG combine `gs * cond + (1 - gs) * uncond`;
+- 2-pass (`get_noise_pred_p1`/`p2` :137-317): pass 1 runs the UNet encoder
+  once and the decoder with ControlNets `nets[skip:]` where skip=1 when a
+  depth hint is given, else skip=2 (so the 3D pipeline's p1 applies only
+  the extra nets, e.g. instruct-pix2pix; the texture pipeline's p1 adds
+  depth) — the x0 estimate for the 3D fuse. Pass 2 re-runs only the
+  DECODER with tile(+depth) ControlNet residuals ADDED to the p1
+  residuals (:281-299), reusing the encoder state (~40% UNet FLOPs saved);
+- extra ControlNets (instruct mode): conditioned on per-net images
+  (default: the initial source renders, `mvedit_3d_pipeline.py:358-361`)
+  at scale 1.0 in BOTH p1 and the 1-pass path (`adapter3d.py:965-969`
+  loads ip2p third; `get_noise_pred_p1` applies nets[controlnet_skip:]).
 
 All functions treat the full CFG batch (2N views) in ONE UNet call with
 joint attention over N views — on TPU one big batch beats the reference's
 --diff-bs micro-batching loop.
 """
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,19 +52,22 @@ def _cfg_combine(noise_pred, guidance_scale):
 
 
 def make_noise_pred_1pass(models: DenoiseModels):
-    """(unet_params, cn_params_list, latents, t, embeds, cond_images,
+    """(unet_params, cn_params, latents, t, embeds, cond_images,
     cn_scales, gs, ip_context) -> guided noise pred.
 
     latents: (2N, h, w, 4) CFG batch (uncond first half);
-    cond_images: list of (2N, H, W, 3) ControlNet hints; cn_scales scalars.
+    cond_images: sequence of len(controlnets) (2N, H, W, 3) hints
+    (tile, depth, *extras); cn_scales: matching scalars.
     """
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def noise_pred(unet_params, cn_params, latents, t, embeds, cond_images,
                    cn_scales, guidance_scale, ip_context=None):
         mode = models.attn_mode()
+        n = len(models.controlnets)
         downs, mid = apply_multi_controlnet(
-            models.controlnets, cn_params, latents, t, embeds, cond_images,
-            cn_scales, mode=AttnMode(), ip_context=None)
+            models.controlnets, cn_params[:n], latents, t, embeds,
+            list(cond_images)[:n], list(cn_scales)[:n], mode=AttnMode(),
+            ip_context=None)
         eps = models.unet.apply(
             {"params": unet_params}, latents, t, embeds, mode=mode,
             ip_context=ip_context, down_block_res=downs, mid_block_res=mid)
@@ -71,25 +76,43 @@ def make_noise_pred_1pass(models: DenoiseModels):
     return noise_pred
 
 
-def make_noise_pred_2pass(models: DenoiseModels, use_depth_in_p1=True):
+def make_noise_pred_2pass(models: DenoiseModels):
     """Returns (p1, p2).
 
     p1(unet_params, cn_params, latents, t, embeds, depth_images,
-       depth_scale, gs, ip_context) -> (eps_guided, enc_state, p1_residuals)
-       — encoder once; decoder with ONLY depth (+extra) control.
-    p2(unet_params, cn_params, enc_state, p1_residuals, t, embeds,
+       depth_scale, gs, ip_context, extra_images, extra_scales)
+       -> (eps_guided, enc_state, p1_residuals)
+       — encoder once; decoder with nets[skip:] control: depth (when
+       depth_images is not None) plus every extra net (ip2p etc.),
+       matching adapter3d_mixin.py:172-186 (controlnet_skip).
+    p2(unet_params, cn_params, latents, enc_state, p1_residuals, t, embeds,
        tile_images, depth_images, tile_scale, depth_scale, gs, ip_context)
        -> eps_guided — decoder re-run with tile(+depth) residuals ADDED to
        the p1 residuals (adapter3d_mixin.py:281-299).
     """
     def p1(unet_params, cn_params, latents, t, embeds, depth_images,
-           depth_scale, guidance_scale, ip_context=None):
+           depth_scale, guidance_scale, ip_context=None,
+           extra_images=(), extra_scales=()):
         mode = models.attn_mode()
-        if use_depth_in_p1 and len(models.controlnets) > 1 \
-                and depth_images is not None:
+        use_depth = depth_images is not None and len(models.controlnets) > 1
+        nets, params, conds, scales = [], [], [], []
+        if use_depth:
+            nets.append(models.controlnets[1])
+            params.append(cn_params[1])
+            conds.append(depth_images)
+            scales.append(depth_scale)
+        n_extra = len(models.controlnets) - 2
+        for j in range(max(n_extra, 0)):
+            if j < len(extra_images):
+                nets.append(models.controlnets[2 + j])
+                params.append(cn_params[2 + j])
+                conds.append(extra_images[j])
+                scales.append(extra_scales[j] if j < len(extra_scales)
+                              else 1.0)
+        if nets:
             downs, mid = apply_multi_controlnet(
-                models.controlnets[1:2], cn_params[1:2], latents, t, embeds,
-                [depth_images], [depth_scale], mode=AttnMode())
+                tuple(nets), params, latents, t, embeds, conds, scales,
+                mode=AttnMode())
         else:
             downs, mid = None, None
         enc = models.unet.apply({"params": unet_params}, latents, t, embeds,

@@ -4,27 +4,34 @@ TPU-native rebuild of `MVEdit3DPipeline.__call__`
 (`lib/pipelines/mvedit_3d_pipeline.py:875-1499`). Control flow (SURVEY §3.1):
 
   for t in [None] + timesteps:
-    P1 denoise (2-pass mode: encoder once, decoder w/o tile control)
+    camera schedule: prune to max_num_views(progress) (:1149-1215)
+    P1 denoise (2-pass: encoder once, decoder w/ extra ControlNets only;
+                1-pass: all ControlNets on the previous step's renders)
     x0 = (x_t - sqrt(1-acp) eps) / sqrt(acp) -> VAE decode -> target views
     3D fuse: progress <= switch -> NeRF inner loop; after -> DMTet inner loop
-    re-render all views -> ControlNet tile/depth inputs
-    P2 denoise: decoder re-run with tile+depth residuals
+      (at render_size_p(progress): 128 -> 256 -> 512, :52-58)
+    re-render all views [-> SRVGG image enhancer when render < 512, :1400]
+      -> ControlNet tile/depth inputs
+    P2 denoise (2-pass only): decoder re-run with tile+depth residuals
     eps_3d from VAE-encoded renders; blend with eps_unet by
       blend_weight = 1 - sqrt(acp_t)  ('dynamic', :1438-1479)
     scheduler.step
+  final step: quadric decimation + texture-only refinement steps
+    (:827-847, mesh_simplify_texture_steps :925)
   bake albedo field -> UV atlas -> Mesh
 
 TPU design decisions (SURVEY §7.6):
-- the view axis is padded to a fixed max; camera pruning flips weights to 0
-  instead of shrinking tensors (one compiled program per phase);
+- the view axis is pruned by flipping cam_weights to 0 (fit sampling honors
+  the mask) and physically gathered down only at a few static BUCKET sizes
+  (start/mid/end of the reference's view schedule) — each bucket is one
+  compiled program, and the denoise FLOPs actually shrink as views drop;
 - each phase (denoise step, fit loop, render-all-views, VAE enc/dec) is one
   jitted function reused across timesteps;
-- the NeRF->DMTet switch is a compile boundary (two fit programs);
-- progress-scheduled scalars (lr, loss weights) are passed as traced scalars
-  so they do not retrigger compilation.
-
-Schedules ported from the reference: max_num_views(progress) (:45-49),
-render size ramp 128->256->512 (:52-58), lr(progress) (:60-63).
+- the NeRF->DMTet switch and each render-size ramp step are compile
+  boundaries;
+- progress-scheduled scalars (lr, entropy/patch/normal-reg weights) ride as
+  traced scalars so schedules do not retrigger compilation
+  (models/nerf_fit.py `sched`, models/mesh_fit.py `sched`).
 """
 import math
 import os
@@ -44,9 +51,14 @@ from ..models import mesh_fit as MF
 from ..models.mesh import (RasterConfig, build_grid_tets, render_views,
                            bake_texture, Mesh)
 from ..ops.image import edge_dilation
+from ..ops.rotation import prune_cameras
 from ..utils.geometry import normalize_depth
 
-__all__ = ["MVEdit3DConfig", "MVEdit3DPipeline"]
+__all__ = ["MVEdit3DConfig", "MVEdit3DPipeline", "default_max_num_views",
+           "default_lr_schedule", "default_render_size_p",
+           "default_entropy_weight", "default_patch_rgb_weight",
+           "default_patch_normal_weight", "default_normal_reg_weight",
+           "default_lr_multiplier"]
 
 
 def _ingp_decode(params, xyz, ingp_cfg):
@@ -77,55 +89,173 @@ class _FieldShading:
             and other.ingp_cfg == self.ingp_cfg
 
 
-def default_max_num_views(progress, start=32, end=9, power=3.0):
+# ---- progress schedules (mvedit_3d_pipeline.py:41-78) --------------------
+
+def default_lr_multiplier(progress, progress_to_dmtet):
+    return min((1 - progress) / (1 - progress_to_dmtet), 1)
+
+
+def default_max_num_views(progress, progress_to_dmtet, start_num=32,
+                          mid_num=16, end_num=9, power=3):
     """View-count schedule (mvedit_3d_pipeline.py:45-49)."""
-    return int(round(start + (end - start) * (progress ** power)))
+    ratio = end_num / mid_num
+    a = (start_num - mid_num) * (1 - progress) ** power + mid_num
+    b = min((1 - progress) / (1 - progress_to_dmtet), 1) * (1 - ratio) + ratio
+    return a * b
 
 
-def default_lr(progress, start=0.01, end=0.005):
-    """lr schedule (mvedit_3d_pipeline.py:60-63)."""
-    return start + (end - start) * progress
+def default_render_size_p(progress, full=512):
+    """Render-size ramp 128 -> 256 -> 512 (mvedit_3d_pipeline.py:52-58)."""
+    if progress <= 0.3:
+        return full // 4
+    if progress <= 0.6:
+        return full // 2
+    return full
+
+
+def default_lr_schedule(progress, start_lr=0.01, end_lr=0.005):
+    return start_lr - (start_lr - end_lr) * progress
+
+
+def default_patch_rgb_weight(progress, start_weight=0.3, end_weight=1.5):
+    return start_weight + (end_weight - start_weight) * progress
+
+
+def default_patch_normal_weight(progress, start_weight=0.0, end_weight=3.0):
+    return start_weight + (end_weight - start_weight) * progress
+
+
+def default_entropy_weight(progress, start_weight=0.0, end_weight=4.0):
+    return start_weight - (start_weight - end_weight) * progress
+
+
+def default_normal_reg_weight(progress, start_weight=4.0, end_weight=0.0):
+    return start_weight - (start_weight - end_weight) * progress
 
 
 @dataclass(frozen=True)
 class MVEdit3DConfig:
-    num_views: int = 32              # padded max (keep_views + surround)
+    num_views: int = 32              # start of the view schedule
+    mid_num_views: int = 16
+    min_num_views: int = 9
+    keep_first_views: int = 0        # views never pruned (input view etc.)
     render_size: int = 512
+    render_size_ramp: bool = True    # 128 -> 256 -> 512 ramp (:52-58)
     latent_size: int = 64
     diffusion_steps: int = 24
     denoising_strength: float = 1.0
     guidance_scale: float = 7.0
     tile_weight: float = 1.0
     depth_weight: float = 0.5
+    extra_control_scale: float = 1.0  # ip2p etc. (adapter3d_mixin.py:182)
     nerf_switch_progress: float = 0.6   # NeRF -> DMTet (:899)
     init_inverse_steps: int = 640
     n_inverse_steps: int = 80
+    tet_init_inverse_steps: int = 120   # first DMTet fit (:1316)
     tet_resolution: int = 64
     patch_size: int = 128
     patch_bs: int = 1
     blend_mode: str = "dynamic"      # blend_weight = 1 - sqrt(acp)
+    # progress schedules (:60-78); entropy_d = entropy bg_width
+    start_lr: float = 0.01
+    end_lr: float = 0.005
+    start_entropy_weight: float = 0.0
+    end_entropy_weight: float = 4.0
+    entropy_d: float = 0.015
+    start_patch_rgb_weight: float = 0.3
+    end_patch_rgb_weight: float = 1.5
+    start_patch_normal_weight: float = 0.0
+    end_patch_normal_weight: float = 3.0
+    start_normal_reg_weight: float = 4.0
+    end_normal_reg_weight: float = 0.0
+    mesh_normal_reg_weight: float = 5.0
+    alpha_soften: float = 0.02
+    use_lpips: bool = False          # patch LPIPS losses (needs
+                                     # models.lpips_params)
+    # final decimation + texture-only steps (:827-847,925)
+    mesh_reduction: float = 1.0      # <1 enables quadric decimation
+    mesh_simplify_texture_steps: int = 24
     ingp: INGPConfig = field(default_factory=INGPConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
-    mode: str = "2-pass"
+    mode: str = "2-pass"             # '1-pass' (instruct) | '2-pass'
+
+    def view_buckets(self):
+        """Static view-buffer sizes the pipeline compiles for, descending."""
+        b = [self.num_views]
+        for n in (self.mid_num_views, self.min_num_views):
+            n = max(n, max(self.keep_first_views, 1))
+            if n < b[-1]:
+                b.append(n)
+        return tuple(b)
+
+    def render_sizes(self):
+        if not self.render_size_ramp:
+            return (self.render_size,)
+        return tuple(sorted({max(self.render_size // 4, self.patch_size),
+                             max(self.render_size // 2, self.patch_size),
+                             self.render_size}))
+
+
+def _gather_views(tree, ids):
+    """Gather the leading (view) axis of every per-view array."""
+    ids = np.asarray(ids)
+
+    def g(x):
+        if x is None:
+            return None
+        return x[jnp.asarray(ids)] if hasattr(x, "shape") else x
+    return jax.tree_util.tree_map(g, tree)
 
 
 class MVEdit3DPipeline:
     """Orchestrates jitted phases from Python (one iteration per timestep).
 
     Construction wants a `models` namespace holding module defs + params:
-      unet, unet_params, controlnets (tile, depth), cn_params, vae,
-      vae_params, schedule (NoiseSchedule); optionally segment_fn.
+      unet, unet_params, controlnets (tile, depth[, extras...]), cn_params,
+      vae, vae_params, schedule (NoiseSchedule); optionally segment_fn,
+      lpips_params, enhance_fn (SRVGG upsampler), ip_context.
     """
 
     def __init__(self, models, cfg: MVEdit3DConfig):
         self.m = models
         self.cfg = cfg
         self.schedule = models.schedule
-        self._jit_cache = {}
         # stable function objects: a fresh lambda per call would defeat the
         # jit caches of the renderers/fitters (recompile every timestep)
         self._decode_fn = partial(_ingp_decode, ingp_cfg=cfg.ingp)
-        self._density_fn_builder = None
+        self._color_fn = partial(_ingp_color, ingp_cfg=cfg.ingp)
+        self._fit_cache = {}
+        # multi-chip: models.device_mesh (jax.sharding.Mesh with a 'dp'
+        # axis) shards the denoise/VAE view batches and the fit's ray axis
+        # across chips; params ride replicated (SURVEY §2.7 TPU note —
+        # one pjit program, collectives over ICI, not NCCL DDP)
+        self.device_mesh = getattr(models, "device_mesh", None)
+
+    # ---------------- sharding helpers ----------------------------------
+
+    def _shard_batch(self, x):
+        """Place a per-view (or 2N CFG) batch on the mesh, view-sharded."""
+        if self.device_mesh is None or x is None:
+            return x
+        n_dev = self.device_mesh.devices.size
+        if x.shape[0] % n_dev != 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.device_mesh, spec))
+
+    def _replicate_params(self):
+        if self.device_mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.device_mesh, P())
+        put = partial(jax.device_put, device=rep)
+        m = self.m
+        m.unet_params = jax.tree_util.tree_map(put, m.unet_params)
+        m.cn_params = jax.tree_util.tree_map(put, m.cn_params)
+        m.vae_params = jax.tree_util.tree_map(put, m.vae_params)
+        if getattr(m, "lpips_params", None) is not None:
+            m.lpips_params = jax.tree_util.tree_map(put, m.lpips_params)
 
     # ---------------- jitted phases -------------------------------------
 
@@ -145,109 +275,317 @@ class MVEdit3DPipeline:
             return vae.apply({"params": params}, img, method=vae.encode)
         return enc
 
-    def _denoise(self):
+    def _denoise(self, num_views):
         from .denoise import DenoiseModels, make_noise_pred_1pass, \
             make_noise_pred_2pass
+        ip_ctx = getattr(self.m, "ip_context", None)
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
-                           num_views=self.cfg.num_views)
+                           num_views=num_views,
+                           ip_tokens=0 if ip_ctx is None
+                           else int(ip_ctx.shape[1]))
         if self.cfg.mode == "1-pass":
             return make_noise_pred_1pass(dm), None
         return make_noise_pred_2pass(dm)
+
+    def _nerf_fit_fns(self, rs, n_steps):
+        """(fit, optimizer) for render size rs, cached per (rs, n_steps)."""
+        key = ("nerf", rs, n_steps)
+        if key not in self._fit_cache:
+            cfg = self.cfg
+            fit_cfg = NF.NerfFitConfig(
+                render=cfg.render, patch_size=min(cfg.patch_size, rs),
+                patch_bs=cfg.patch_bs, n_steps=n_steps,
+                alpha_soften=cfg.alpha_soften, bg_width=cfg.entropy_d)
+            self._fit_cache[key] = NF.make_nerf_fit(
+                self._decode_fn, fit_cfg, rs,
+                use_lpips=cfg.use_lpips and
+                getattr(self.m, "lpips_params", None) is not None,
+                mesh=self.device_mesh)
+        return self._fit_cache[key]
+
+    def _mesh_raster_cfg(self, rs):
+        # DMTet soups are many small tris: tight span, deep per-tile budget
+        return RasterConfig(height=rs, width=rs, span=2,
+                            k_per_tile=768 if rs >= 256 else 256)
+
+    def _mesh_fit_fns(self, tet_grid, n_steps):
+        key = ("mesh", n_steps)
+        if key not in self._fit_cache:
+            cfg = self.cfg
+            mcfg = MF.MeshFitConfig(
+                raster=self._mesh_raster_cfg(cfg.render_size),
+                n_steps=n_steps,
+                normal_reg_weight=cfg.mesh_normal_reg_weight,
+                patch_size=min(cfg.patch_size, cfg.render_size))
+            self._fit_cache[key] = MF.make_mesh_fit(
+                tet_grid, self._color_fn, mcfg)
+        return self._fit_cache[key]
+
+    # ---------------- schedules -----------------------------------------
+
+    def _sched_weights(self, progress, phase):
+        cfg = self.cfg
+        lr = default_lr_schedule(progress, cfg.start_lr, cfg.end_lr)
+        if phase == "nerf":
+            return {
+                "lr": jnp.asarray(lr, jnp.float32),
+                "entropy": jnp.asarray(default_entropy_weight(
+                    progress, cfg.start_entropy_weight,
+                    cfg.end_entropy_weight), jnp.float32),
+                "patch_rgb": jnp.asarray(default_patch_rgb_weight(
+                    progress, cfg.start_patch_rgb_weight,
+                    cfg.end_patch_rgb_weight), jnp.float32),
+                "patch_normal": jnp.asarray(default_patch_normal_weight(
+                    progress, cfg.start_patch_normal_weight,
+                    cfg.end_patch_normal_weight), jnp.float32),
+                "normal_reg": jnp.asarray(default_normal_reg_weight(
+                    progress, cfg.start_normal_reg_weight,
+                    cfg.end_normal_reg_weight), jnp.float32),
+            }
+        return {
+            "lr": jnp.asarray(lr, jnp.float32),
+            "sdf_lr_mult": jnp.asarray(default_lr_multiplier(
+                progress, cfg.nerf_switch_progress), jnp.float32),
+            "normal_reg": jnp.asarray(cfg.mesh_normal_reg_weight,
+                                      jnp.float32),
+            "patch_rgb": jnp.asarray(default_patch_rgb_weight(
+                progress, cfg.start_patch_rgb_weight,
+                cfg.end_patch_rgb_weight), jnp.float32),
+            "patch_normal": jnp.asarray(default_patch_normal_weight(
+                progress, cfg.start_patch_normal_weight,
+                cfg.end_patch_normal_weight), jnp.float32),
+        }
+
+    def _resize_targets(self, tgt, rs):
+        """Per-render-size supervision targets (the reference interpolates
+        tgt tensors to render_size, mvedit_3d_pipeline.py:1283-1296)."""
+        full = self.cfg.render_size
+        if rs == full:
+            return tgt
+        out = dict(tgt)
+        scale = rs / full
+
+        def rsz(x, c):
+            return jax.image.resize(
+                x, (x.shape[0], rs, rs, c), "bilinear")
+
+        out["images"] = rsz(tgt["images"], 3)
+        out["masks"] = rsz(tgt["masks"], 1)
+        if "normals" in tgt:
+            out["normals"] = rsz(tgt["normals"], 3)
+        if "depths" in tgt:
+            out["depths"] = rsz(tgt["depths"][..., None], 1)[..., 0]
+        out["intrinsics"] = tgt["intrinsics"] * scale
+        return out
 
     # ---------------- main ----------------------------------------------
 
     def __call__(self, targets, key, prompt_embeds, negative_embeds,
                  init_latents=None, progress_callback=None,
-                 init_field_params=None):
+                 init_field_params=None, extra_control_images=None):
         """Run the full loop.
 
         targets: dict with images (N,H,W,3), masks (N,H,W,1),
             poses (N,3,4), intrinsics (N,4), cam_weights (N,),
-            cam_lights (N,3) — N == cfg.num_views (padded; weight 0 =
-            pruned/padding).
+            cam_lights (N,3) [+ normals/depths/normal_weights] —
+            N == cfg.num_views.
         prompt_embeds/negative_embeds: (N, L, C) per-view text embeddings.
+        extra_control_images: list of (N,H,W,3) hints for ControlNets
+            beyond tile+depth (default: the initial images, i.e. instruct
+            ip2p conditioning, mvedit_3d_pipeline.py:358-361).
         Returns dict with mesh (Mesh), field params, renders.
         """
         cfg = self.cfg
         sch = self.schedule
-        N = cfg.num_views
+        m = self.m
 
+        self._replicate_params()
         vae_dec = self._vae_decode()
         vae_enc = self._vae_encode()
-        p1, p2 = self._denoise() if cfg.mode == "2-pass" else (None, None)
+        lpips_params = getattr(m, "lpips_params", None) \
+            if cfg.use_lpips else None
+        ip_ctx = getattr(m, "ip_context", None)
+
+        # --- per-view state (pruned by gathering at bucket sizes) -------
+        tgt = dict(targets)
+        n_extra_nets = max(len(m.controlnets) - 2, 0)
+        if extra_control_images is None and n_extra_nets:
+            extra_control_images = [tgt["images"]] * n_extra_nets
+        extra_ctrl = list(extra_control_images or [])
+        init_images = tgt["images"]
+        init_masks = tgt["masks"]
+        pos_e, neg_e = prompt_embeds, negative_embeds
 
         # --- init NeRF state -------------------------------------------
         key, k0 = jax.random.split(key)
         nerf_params = (init_field_params if init_field_params is not None
                        else ingp_init(k0, cfg.ingp))
         grid = OccupancyGrid.create(cfg.render.grid_size)
+        _, nerf_opt = self._nerf_fit_fns(cfg.render_sizes()[0],
+                                         cfg.n_inverse_steps)
+        opt_state = nerf_opt.init(nerf_params)
 
-        decode_fn = self._decode_fn
-        fit_cfg = NF.NerfFitConfig(
-            render=cfg.render, patch_size=cfg.patch_size,
-            patch_bs=cfg.patch_bs, n_steps=cfg.n_inverse_steps)
-        init_fit_cfg = NF.NerfFitConfig(
-            render=cfg.render, patch_size=cfg.patch_size,
-            patch_bs=cfg.patch_bs, n_steps=cfg.init_inverse_steps)
-        fit, optimizer = NF.make_nerf_fit(decode_fn, fit_cfg, cfg.render_size)
-        init_fit, _ = NF.make_nerf_fit(decode_fn, init_fit_cfg,
-                                       cfg.render_size)
-        opt_state = optimizer.init(nerf_params)
-
-        # --- init loop state -------------------------------------------
+        # --- diffusion state -------------------------------------------
         timesteps = S.make_timesteps(cfg.diffusion_steps,
                                      sch.num_train_timesteps, "trailing")
         n_keep = int(len(timesteps) * (1 - cfg.denoising_strength))
         timesteps = timesteps[n_keep:]
 
-        key, k1, k2 = jax.random.split(key, 3)
+        key, k1 = jax.random.split(key)
         if init_latents is None:
-            lat0 = vae_enc(self.m.vae_params,
-                           targets["images"] * 2.0 - 1.0)
+            lat0 = vae_enc(m.vae_params,
+                           self._shard_batch(tgt["images"] * 2.0 - 1.0))
         else:
             lat0 = init_latents
         noise = jax.random.normal(k1, lat0.shape)
-        latents = S.add_noise(sch, lat0, noise,
-                              jnp.full((N,), int(timesteps[0])))
+        latents = self._shard_batch(S.add_noise(
+            sch, lat0, noise,
+            jnp.full((lat0.shape[0],), int(timesteps[0]))))
+        solver_state = S.SolverState.init(latents.shape)
 
         mesh_state = None
         mesh_fit_fns = None
-        solver_state = S.SolverState.init(latents.shape)
-        tgt = dict(targets)
+        mesh_opt_state = None
+        last_mt = None
+        ctrl_images = None   # previous-step renders at full size (1-pass)
+        ctrl_depths = None
+        renders = None
+        keep_n = max(cfg.keep_first_views, 0)
+        buckets = cfg.view_buckets()
+        cur_n = cfg.num_views          # current buffer size
+        alive = np.ones(cur_n, bool)   # weight>0 mask (host mirror)
+        alive &= np.asarray(tgt["cam_weights"]) > 0
 
+        p1 = p2 = one_pass = None
         steps = [None] + list(timesteps)
         for i, t in enumerate(steps):
             progress = i / max(len(steps) - 1, 1)
             in_mesh_phase = progress > cfg.nerf_switch_progress
+            rs = default_render_size_p(progress, cfg.render_size) \
+                if (cfg.render_size_ramp and not in_mesh_phase) \
+                else cfg.render_size
+
+            # ---- camera schedule: prune + bucket gather (:1149-1215) ----
+            if i > 0:
+                target_n = max(int(round(default_max_num_views(
+                    progress, cfg.nerf_switch_progress, cfg.num_views,
+                    cfg.mid_num_views, cfg.min_num_views))), max(keep_n, 1))
+                n_alive = int(alive.sum())
+                if target_n < n_alive:
+                    alive_ids = np.flatnonzero(alive)
+                    poses_np = np.asarray(tgt["poses"])[alive_ids]
+                    if ctrl_images is not None:
+                        diff = np.asarray(jnp.mean(
+                            (ctrl_images - init_images) ** 2,
+                            axis=(1, 2, 3)))
+                        mask_mean = np.asarray(jnp.mean(
+                            init_masks, axis=(1, 2, 3)))
+                        bonus = (diff / (mask_mean + 0.1))[alive_ids]
+                        # NaN renders (undertrained field) must not poison
+                        # the min-score comparisons inside prune_cameras
+                        bonus = np.nan_to_num(bonus, nan=0.0,
+                                              posinf=0.0, neginf=0.0)
+                        bonus = bonus[None, :] + bonus[:, None]
+                    else:
+                        bonus = None
+                    kept_local = prune_cameras(
+                        poses_np, list(range(min(keep_n, len(alive_ids)))),
+                        target_n, pixel_dist_bonus=bonus)
+                    kept_global = set(alive_ids[kept_local].tolist())
+                    new_alive = np.array(
+                        [j in kept_global for j in range(cur_n)])
+                    if not np.array_equal(new_alive, alive):
+                        alive = new_alive
+                        tgt["cam_weights"] = jnp.where(
+                            jnp.asarray(alive), tgt["cam_weights"], 0.0)
+                # gather down to the next bucket when all dead views fit out
+                n_alive = int(alive.sum())
+                for b in buckets:
+                    if b < cur_n and n_alive <= b:
+                        ids = np.flatnonzero(alive)[:b]
+                        if len(ids) < b:   # pad with alive dupes (weight>0)
+                            ids = np.concatenate(
+                                [ids, np.repeat(ids[-1:], b - len(ids))])
+                        tgt = _gather_views(tgt, ids)
+                        init_images = init_images[jnp.asarray(ids)]
+                        init_masks = init_masks[jnp.asarray(ids)]
+                        extra_ctrl = [e[jnp.asarray(ids)]
+                                      for e in extra_ctrl]
+                        pos_e = pos_e[jnp.asarray(ids)]
+                        neg_e = neg_e[jnp.asarray(ids)]
+                        latents = latents[jnp.asarray(ids)]
+                        solver_state = solver_state._replace(
+                            prev_x0=solver_state.prev_x0[jnp.asarray(ids)])
+                        if ctrl_images is not None:
+                            ctrl_images = ctrl_images[jnp.asarray(ids)]
+                            ctrl_depths = ctrl_depths[jnp.asarray(ids)]
+                        cur_n = b
+                        alive = alive[ids]
+                        p1 = p2 = one_pass = None   # re-jit at new size
+                        break
+
+            N = cur_n
+            if p1 is None and one_pass is None:
+                if cfg.mode == "1-pass":
+                    one_pass, _ = self._denoise(N)
+                else:
+                    p1, p2 = self._denoise(N)
+
+            ip2 = None if ip_ctx is None else jnp.concatenate(
+                [jnp.repeat(ip_ctx[:1], N, 0),
+                 jnp.repeat(ip_ctx[1:2], N, 0)], axis=0)
 
             if t is not None:
                 # ---- P1 denoise + x0 decode ----
-                t_vec = jnp.full((2 * N,), int(t), jnp.int32)
-                cfg_lat = jnp.concatenate([latents, latents], axis=0)
-                embeds = jnp.concatenate([negative_embeds, prompt_embeds], 0)
-                ctrl_depths2 = jnp.concatenate(
-                    [self._ctrl_depths, self._ctrl_depths], axis=0) \
-                    if hasattr(self, "_ctrl_depths") else None
-                eps, enc_state, p1_res = p1(
-                    self.m.unet_params, self.m.cn_params, cfg_lat, t_vec,
-                    embeds, ctrl_depths2, cfg.depth_weight,
-                    cfg.guidance_scale)
+                t_vec = self._shard_batch(
+                    jnp.full((2 * N,), int(t), jnp.int32))
+                cfg_lat = self._shard_batch(
+                    jnp.concatenate([latents, latents], axis=0))
+                embeds = self._shard_batch(
+                    jnp.concatenate([neg_e, pos_e], 0))
+                extras2 = tuple(self._shard_batch(
+                    jnp.concatenate([e, e], 0)) for e in extra_ctrl)
+                if cfg.mode == "1-pass":
+                    # all nets on the previous step's renders (:1244-1248)
+                    tiles2 = self._shard_batch(
+                        jnp.concatenate([ctrl_images, ctrl_images], 0))
+                    depths2 = self._shard_batch(
+                        jnp.concatenate([ctrl_depths, ctrl_depths], 0))
+                    conds = [tiles2, depths2] + list(extras2)
+                    scales = [cfg.tile_weight, cfg.depth_weight] + \
+                        [cfg.extra_control_scale] * len(extras2)
+                    eps = one_pass(m.unet_params, m.cn_params, cfg_lat,
+                                   t_vec, embeds, conds, scales,
+                                   cfg.guidance_scale, ip_context=ip2)
+                else:
+                    eps, enc_state, p1_res = p1(
+                        m.unet_params, m.cn_params, cfg_lat, t_vec,
+                        embeds, None, cfg.depth_weight, cfg.guidance_scale,
+                        ip_context=ip2, extra_images=extras2,
+                        extra_scales=(cfg.extra_control_scale,)
+                        * len(extras2))
                 sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
                 x0_lat = (latents - sn * eps) / sa
-                dec_imgs = (vae_dec(self.m.vae_params, x0_lat) + 1) / 2
+                dec_imgs = (vae_dec(m.vae_params, x0_lat) + 1) / 2
                 tgt["images"] = jnp.clip(dec_imgs, 0.0, 1.0)
-                if getattr(self.m, "segment_fn", None) is not None:
-                    tgt["masks"] = self.m.segment_fn(tgt["images"])
+                if getattr(m, "segment_fn", None) is not None:
+                    tgt["masks"] = m.segment_fn(tgt["images"])
 
             # ---- 3D fuse ----
             key, kf = jax.random.split(key)
             if not in_mesh_phase:
-                use_fit = init_fit if t is None else fit
-                nerf_params, opt_state, grid, _ = use_fit(
-                    nerf_params, opt_state, grid, tgt, kf)
+                n_steps = cfg.init_inverse_steps if t is None \
+                    else cfg.n_inverse_steps
+                fit, _ = self._nerf_fit_fns(rs, n_steps)
+                sw = self._sched_weights(progress, "nerf")
+                tgt_rs = self._resize_targets(tgt, rs)
+                nerf_params, opt_state, grid, _ = fit(
+                    nerf_params, opt_state, grid, tgt_rs, kf,
+                    sched=sw, lpips_params=lpips_params)
             else:
-                if mesh_state is None:
+                first_mesh_step = mesh_state is None
+                if first_mesh_step:
                     if os.environ.get("MVEDIT_DEBUG_MEM"):
                         stats = jax.local_devices()[0].memory_stats() or {}
                         print("[mem@mesh-switch]",
@@ -260,50 +598,68 @@ class MVEdit3DPipeline:
                     del opt_state
                     tet_grid = build_grid_tets(cfg.tet_resolution)
                     sdf0 = MF.init_sdf_from_density(
-                        lambda x: decode_fn(nerf_params, x)[0], tet_grid)
+                        lambda x: self._decode_fn(nerf_params, x)[0],
+                        tet_grid)
                     mesh_state = {
                         "field": nerf_params,
                         "sdf": sdf0,
                         "deform": jnp.zeros((len(tet_grid.verts), 3)),
                     }
-                    mcfg = MF.MeshFitConfig(
-                        raster=RasterConfig(
-                            height=cfg.render_size, width=cfg.render_size,
-                            # DMTet soups are many small tris: tight span,
-                            # deep per-tile budget
-                            span=2,
-                            k_per_tile=768 if cfg.render_size >= 256
-                            else 256),
-                        n_steps=cfg.n_inverse_steps)
-                    mesh_fit_fns = MF.make_mesh_fit(
-                        tet_grid,
-                        partial(_ingp_color, ingp_cfg=cfg.ingp), mcfg)
+                    # first DMTet fit runs tet_init_inverse_steps (:1316)
+                    self._mesh_fit_fns(tet_grid, cfg.tet_init_inverse_steps)
+                    mesh_fit_fns = self._mesh_fit_fns(
+                        tet_grid, cfg.n_inverse_steps)
                     mesh_opt_state = mesh_fit_fns[1].init(mesh_state)
-                mfit, _, _ = mesh_fit_fns
+                n_steps = cfg.tet_init_inverse_steps if first_mesh_step \
+                    else cfg.n_inverse_steps
+                mfit, _, _ = self._fit_cache[("mesh", n_steps)]
+                sw = self._sched_weights(progress, "mesh")
                 mesh_state, mesh_opt_state, fit_out = mfit(
-                    mesh_state, mesh_opt_state, tgt, kf)
-                self._last_mt = fit_out["mt"]
+                    mesh_state, mesh_opt_state, tgt, kf,
+                    sched=sw, lpips_params=lpips_params)
+                last_mt = fit_out["mt"]
+                nerf_params = mesh_state["field"]
 
             # ---- re-render all views -> ctrl inputs + eps_3d ----
-            renders = self._render_all(nerf_params, mesh_state,
-                                       mesh_fit_fns, grid, tgt)
-            self._ctrl_depths = normalize_depth(
+            renders = self._render_all(nerf_params, mesh_state, last_mt,
+                                       grid, tgt, rs)
+            ctrl_depths_rs = normalize_depth(
                 renders["depth"], renders["alpha"])[..., None].repeat(3, -1)
+            ctrl_rgb = renders["rgb"]
+            if rs != cfg.render_size:
+                # upsample renders to the diffusion size; SRVGG enhancer
+                # when present (mvedit_3d_pipeline.py:1400), else bilinear
+                enhance = getattr(m, "enhance_fn", None)
+                if enhance is not None:
+                    ctrl_rgb = enhance(ctrl_rgb, cfg.render_size)
+                else:
+                    ctrl_rgb = jax.image.resize(
+                        ctrl_rgb, (N, cfg.render_size, cfg.render_size, 3),
+                        "bilinear")
+                ctrl_depths_full = jax.image.resize(
+                    ctrl_depths_rs,
+                    (N, cfg.render_size, cfg.render_size, 3), "bilinear")
+            else:
+                ctrl_depths_full = ctrl_depths_rs
+            ctrl_images = jnp.clip(ctrl_rgb, 0.0, 1.0)
+            ctrl_depths = ctrl_depths_full
 
             if t is not None:
-                ctrl_images = renders["rgb"]
-                cfg_lat2 = jnp.concatenate([latents, latents], axis=0)
-                tiles2 = jnp.concatenate([ctrl_images, ctrl_images], 0)
-                depths2 = jnp.concatenate(
-                    [self._ctrl_depths, self._ctrl_depths], 0)
-                eps_unet = p2(
-                    self.m.unet_params, self.m.cn_params, cfg_lat2,
-                    enc_state, p1_res, t_vec, embeds, tiles2, depths2,
-                    cfg.tile_weight, cfg.depth_weight, cfg.guidance_scale)
-                # eps from the reconstructed views
-                lat_3d = vae_enc(self.m.vae_params,
-                                 renders["rgb"] * 2 - 1)
+                lat_3d = vae_enc(m.vae_params,
+                                 self._shard_batch(ctrl_images * 2 - 1))
                 eps_3d = (latents - sa * lat_3d) / sn
+                if cfg.mode == "1-pass":
+                    eps_unet = eps
+                else:
+                    tiles2 = self._shard_batch(
+                        jnp.concatenate([ctrl_images, ctrl_images], 0))
+                    depths2 = self._shard_batch(
+                        jnp.concatenate([ctrl_depths, ctrl_depths], 0))
+                    eps_unet = p2(
+                        m.unet_params, m.cn_params, cfg_lat,
+                        enc_state, p1_res, t_vec, embeds, tiles2, depths2,
+                        cfg.tile_weight, cfg.depth_weight,
+                        cfg.guidance_scale, ip_context=ip2)
                 bw = (1.0 - sa) if cfg.blend_mode == "dynamic" else 0.5
                 eps_final = bw * eps_3d + (1 - bw) * eps_unet
                 t_prev = int(steps[i + 1]) if i + 1 < len(steps) else -1
@@ -313,72 +669,94 @@ class MVEdit3DPipeline:
             if progress_callback:
                 progress_callback(i, len(steps))
 
-        # ---- bake -----------------------------------------------------
-        out_mesh = self._extract_and_bake(nerf_params, mesh_state,
-                                          mesh_fit_fns)
+        # ---- decimate + texture-only refinement + bake -----------------
+        key, kb = jax.random.split(key)
+        out_mesh = self._extract_and_bake(nerf_params, mesh_state, last_mt,
+                                          tgt, kb, lpips_params)
         return {"mesh": out_mesh, "nerf_params": nerf_params,
                 "mesh_state": mesh_state, "renders": renders}
 
     # ---------------- helpers -------------------------------------------
 
-    def _render_all(self, nerf_params, mesh_state, mesh_fit_fns, grid, tgt):
+    def _render_all(self, nerf_params, mesh_state, last_mt, grid, tgt, rs):
         cfg = self.cfg
+        N = tgt["poses"].shape[0]
+        intr = tgt["intrinsics"] * (rs / cfg.render_size)
         if mesh_state is None:
             render = NF.make_image_renderer(
-                self._decode_fn,
-                cfg.render_size, cfg.render_size, cfg.render,
-                chunk=cfg.render_size * 128)
-            outs = [render(nerf_params, tgt["poses"][i],
-                           tgt["intrinsics"][i], grid)
-                    for i in range(cfg.num_views)]
+                self._decode_fn, rs, rs, cfg.render, chunk=rs * 128)
+            outs = [render(nerf_params, tgt["poses"][i], intr[i], grid)
+                    for i in range(N)]
             return {
                 "rgb": jnp.stack([o["rgb"] for o in outs]),
                 "depth": jnp.stack([o["depth"] for o in outs]),
                 "alpha": jnp.stack([o["alpha"] for o in outs])[..., None],
             }
-        mt = getattr(self, "_last_mt", None)
-        if mt is None:
-            _, _, extract = mesh_fit_fns
-            mt = extract(mesh_state)
+        mt = last_mt
         shading_fun = _FieldShading(mesh_state["field"], cfg.ingp)
-
-        rc = RasterConfig(height=cfg.render_size, width=cfg.render_size,
-                          span=2,
-                          k_per_tile=768 if cfg.render_size >= 256 else 256)
+        rc = self._mesh_raster_cfg(rs)
         # one view per call: vmapping all N views multiplies the raster
         # working set N-fold and OOMs at 512^2
         outs = [render_views(mt["verts"], mt["faces"], mt["face_mask"],
-                             tgt["poses"][i:i + 1],
-                             tgt["intrinsics"][i:i + 1], rc,
+                             tgt["poses"][i:i + 1], intr[i:i + 1], rc,
                              shading_fun=shading_fun)
-                for i in range(cfg.num_views)]
+                for i in range(N)]
         return {"rgb": jnp.concatenate([o["rgb"] for o in outs]),
                 "depth": jnp.concatenate([o["depth"] for o in outs]),
                 "alpha": jnp.concatenate([o["alpha"] for o in outs])}
 
-    def _extract_and_bake(self, nerf_params, mesh_state, mesh_fit_fns,
-                          atlas_size=1024):
-        cfg = self.cfg
-        if mesh_state is None:
-            return None
-        mt = getattr(self, "_last_mt", None)
-        if mt is None:
-            _, _, extract = mesh_fit_fns
-            mt = extract(mesh_state)
+    def _compact_mesh(self, mt):
         verts = np.asarray(mt["verts"])
         faces = np.asarray(mt["faces"])
         fmask = np.asarray(mt["face_mask"])
         faces = faces[fmask]
         if len(faces) == 0:
-            # degenerate extraction (e.g. empty density field) — the
-            # reference degrades to out_mesh=None (mvedit_3d_pipeline.py:1491)
-            return None
-        # compact vertices
+            return None, None
         used = np.unique(faces)
         remap = np.full(len(verts), -1, np.int64)
         remap[used] = np.arange(len(used))
-        mesh = Mesh(v=verts[used].astype(np.float32),
-                    f=remap[faces].astype(np.int32))
+        return (verts[used].astype(np.float32),
+                remap[faces].astype(np.int32))
+
+    def _extract_and_bake(self, nerf_params, mesh_state, last_mt, tgt, key,
+                          lpips_params=None, atlas_size=1024):
+        cfg = self.cfg
+        if mesh_state is None:
+            return None
+        verts, faces = self._compact_mesh(last_mt)
+        if verts is None:
+            # degenerate extraction (e.g. empty density field) — the
+            # reference degrades to out_mesh=None (mvedit_3d_pipeline.py:1491)
+            return None
+
+        field = mesh_state["field"]
+        if cfg.mesh_reduction < 1.0 and len(faces) > 64:
+            # quadric decimation + texture-only refinement of the albedo
+            # field on the simplified mesh (mvedit_3d_pipeline.py:827-847)
+            from ..native import decimate_qem, native_available
+            if native_available():
+                target = max(int(round(len(faces) * cfg.mesh_reduction)), 16)
+                verts_d, faces_d = decimate_qem(verts, faces, target)
+                if len(faces_d) >= 16:
+                    verts, faces = (verts_d.astype(np.float32),
+                                    faces_d.astype(np.int32))
+                    mcfg = MF.MeshFitConfig(
+                        raster=self._mesh_raster_cfg(cfg.render_size),
+                        patch_size=min(cfg.patch_size, cfg.render_size))
+                    refine, ropt = MF.make_texture_refine(
+                        self._color_fn, mcfg,
+                        n_steps=cfg.mesh_simplify_texture_steps)
+                    r_state = ropt.init(field)
+                    sw = MF.default_mesh_schedule_weights(mcfg)
+                    sw = {**sw, "lr": jnp.asarray(cfg.end_lr, jnp.float32),
+                          "patch_rgb": jnp.asarray(
+                              cfg.end_patch_rgb_weight, jnp.float32)}
+                    field, _, _ = refine(
+                        field, r_state, jnp.asarray(verts),
+                        jnp.asarray(faces), tgt, key, sched=sw,
+                        lpips_params=lpips_params)
+
+        mesh = Mesh(v=verts, f=faces)
         mesh.auto_normal()
         mesh.auto_uv()
         # bake the albedo field into the atlas
@@ -388,8 +766,7 @@ class MVEdit3DPipeline:
             jnp.asarray(mesh.v), jnp.asarray(mesh.f),
             jnp.ones((len(mesh.f),), bool), jnp.asarray(mesh.vt),
             jnp.asarray(mesh.ft),
-            partial(_ingp_color, mesh_state["field"],
-                    ingp_cfg=cfg.ingp), acfg)
+            partial(_ingp_color, field, ingp_cfg=cfg.ingp), acfg)
         rgb = edge_dilation(rgb, mask, n_iters=16)
         mesh.albedo = np.asarray(jnp.clip(rgb, 0, 1))
         return mesh

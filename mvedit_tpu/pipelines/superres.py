@@ -60,10 +60,18 @@ class TextureSuperResPipeline:
         vae_dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
                                                  method=vae.decode))
         from .denoise import DenoiseModels, make_noise_pred_2pass
+        # IP-Adapter image-prompt tokens (ref conditions superres on the
+        # input renders, mvedit_texture_superres_pipeline.py:62-87)
+        ip_ctx = getattr(self.m, "ip_context", None)
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
-                           num_views=N)
+                           num_views=N,
+                           ip_tokens=0 if ip_ctx is None
+                           else int(ip_ctx.shape[1]))
         p1, p2 = make_noise_pred_2pass(dm)
+        ip2 = None if ip_ctx is None else jnp.concatenate(
+            [jnp.repeat(ip_ctx[:1], N, 0),
+             jnp.repeat(ip_ctx[1:2], N, 0)], axis=0)
 
         # frozen-mesh view geometry
         rc = RasterConfig(height=cfg.render_size, width=cfg.render_size)
@@ -113,7 +121,8 @@ class TextureSuperResPipeline:
             depths2 = jnp.concatenate([ctrl_depths, ctrl_depths], 0)
             eps, enc_state, p1_res = p1(
                 self.m.unet_params, self.m.cn_params, lat2, t_vec, embeds,
-                depths2, cfg.depth_weight, cfg.guidance_scale)
+                depths2, cfg.depth_weight, cfg.guidance_scale,
+                ip_context=ip2)
             sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
             x0_lat = (latents - sn * eps) / sa
             decoded = jnp.clip(
@@ -122,7 +131,7 @@ class TextureSuperResPipeline:
             eps_unet = p2(self.m.unet_params, self.m.cn_params, lat2,
                           enc_state, p1_res, t_vec, embeds, tiles2, depths2,
                           cfg.tile_weight, cfg.depth_weight,
-                          cfg.guidance_scale)
+                          cfg.guidance_scale, ip_context=ip2)
             t_prev = int(timesteps[i + 1]) if i + 1 < len(timesteps) else -1
             latents, solver_state = S.dpmsolver_step(
                 sch, latents, eps_unet, jnp.asarray(int(t)),
@@ -138,7 +147,9 @@ class TextureSuperResPipeline:
         key, k0 = jax.random.split(key)
         params = ingp_init(k0, cfg.ingp)
         color_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)[1]  # noqa
-        fit, optimizer = make_texture_fit(color_fn, tcfg, geom)
+        fit, optimizer = make_texture_fit(
+            color_fn, tcfg, geom,
+            lpips_params=getattr(self.m, "lpips_params", None))
         opt_state = optimizer.init(params)
         params, opt_state, _ = fit(params, opt_state,
                                    {"images": final_views})

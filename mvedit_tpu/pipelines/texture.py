@@ -41,7 +41,9 @@ class TextureConfig:
     n_inverse_steps: int = 48
     views_per_step: int = 4   # random view subset per fit step (render_bs)
     lr: float = 0.01
-    patch_rgb_weight: float = 0.0
+    # LPIPS weight 0.1 (mvedit_texture_pipeline.py:32, flat schedule);
+    # active when models.lpips_params is present
+    patch_rgb_weight: float = 0.1
     blend_mode: str = "dynamic"
     ingp: INGPConfig = field(default_factory=INGPConfig)
     mode: str = "2-pass"
@@ -147,7 +149,9 @@ class TexturePipeline:
         key, k0 = jax.random.split(key)
         params = ingp_init(k0, cfg.ingp)
         color_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)[1]  # noqa
-        fit, optimizer = make_texture_fit(color_fn, cfg, geom)
+        fit, optimizer = make_texture_fit(
+            color_fn, cfg, geom,
+            lpips_params=getattr(self.m, "lpips_params", None))
         opt_state = optimizer.init(params)
 
         def render_now(params):

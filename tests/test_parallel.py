@@ -1,14 +1,99 @@
+"""Multi-chip sharding: the REAL pipeline runs sharded on the CPU test
+mesh and matches the single-device path."""
 import jax
+import jax.numpy as jnp
+import numpy as np
 import pytest
 
-from mvedit_tpu.parallel import dryrun
+from mvedit_tpu.parallel import dryrun, dryrun_pipeline
+from mvedit_tpu.parallel.sharded import make_mesh
 
 
 @pytest.mark.slow
 def test_dryrun_multichip_8():
+    """Full tiny MVEdit timestep loop sharded over 8 devices (what the
+    driver's dryrun_multichip exercises)."""
     assert len(jax.devices()) >= 8
     dryrun(8)
 
 
-def test_dryrun_multichip_2():
-    dryrun(2)
+def test_sharded_denoise_matches_single_device():
+    """One denoise p1 with the CFG/view batch sharded over the mesh must
+    match the unsharded result (params replicated; XLA inserts the view
+    all-gather inside joint attention)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mvedit_tpu.testing import make_tiny_models
+    from mvedit_tpu.pipelines import DenoiseModels, make_noise_pred_2pass
+
+    m = make_tiny_models(jax.random.PRNGKey(0))
+    N = 4
+    dm = DenoiseModels(unet=m.unet, controlnets=tuple(m.controlnets),
+                       num_views=N)
+    p1, _ = make_noise_pred_2pass(dm)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2 * N, 8, 8, 4))
+    t = jnp.full((2 * N,), 500, jnp.int32)
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (2 * N, 8, 32))
+    depth = jnp.zeros((2 * N, 16, 16, 3))
+
+    eps_ref, _, _ = p1(m.unet_params, m.cn_params, lat, t, embeds,
+                       depth, 0.5, 3.0)
+
+    mesh = make_mesh(8)
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def put_dp(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P(*(("dp",) + (None,) * (x.ndim - 1)))))
+
+    up = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
+                                m.unet_params)
+    cp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
+                                m.cn_params)
+    eps_sh, _, _ = p1(up, cp, put_dp(lat), put_dp(t), put_dp(embeds),
+                      put_dp(depth), 0.5, 3.0)
+    np.testing.assert_allclose(np.asarray(eps_sh), np.asarray(eps_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_matches_unsharded():
+    """The full tiny pipeline gives (numerically) the same result sharded
+    over the 8-device mesh as on one device — one compiled SPMD program,
+    not a different algorithm."""
+    mesh = make_mesh(8)
+    out_sh = dryrun_pipeline(mesh, num_views=4, steps=2, seed=3)
+
+    from mvedit_tpu.parallel.sharded import dryrun_pipeline as dp
+
+    # unsharded: same models/config/seed without a device mesh
+    from mvedit_tpu.testing import make_tiny_models, make_tiny_mvedit_cfg
+    from mvedit_tpu.pipelines import MVEdit3DPipeline
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    N, size, seed = 4, 32, 3
+    m = make_tiny_models(jax.random.PRNGKey(seed))
+    cfg = make_tiny_mvedit_cfg(num_views=N, render_size=size, steps=2,
+                               nerf_switch_progress=0.5)
+    rng = np.random.default_rng(seed)
+    poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {
+        "images": jnp.ones((N, size, size, 3)) * 0.5,
+        "masks": jnp.ones((N, size, size, 1)),
+        "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+        "cam_weights": jnp.ones((N,)),
+        "cam_lights": jnp.asarray(lights),
+    }
+    embeds = jnp.zeros((N, 8, 32))
+    out_ref = MVEdit3DPipeline(m, cfg)(
+        targets, jax.random.PRNGKey(seed + 1), embeds, embeds)
+
+    a = np.asarray(out_sh["renders"]["rgb"])
+    b = np.asarray(out_ref["renders"]["rgb"])
+    assert a.shape == b.shape
+    assert np.isfinite(a).all()
+    # float reassociation across shardings accumulates through the fit
+    # scans; demand close, not bitwise
+    np.testing.assert_allclose(a, b, atol=5e-2)

@@ -147,3 +147,87 @@ def test_denoise_1pass_2pass_consistency():
                 hints, hints, 0.0, 0.0, 3.0)
     np.testing.assert_allclose(np.asarray(eps_p1), np.asarray(eps_p2),
                                atol=2e-4)
+
+
+def test_instruct_extra_controlnet_is_applied():
+    """Instruct mode's third (ip2p) ControlNet must change the noise
+    prediction in both 1-pass and 2-pass p1 (ref adapter3d_mixin.py:172-186
+    applies nets[controlnet_skip:]; round-1 bug: it was silently skipped)."""
+    from mvedit_tpu.pipelines import (DenoiseModels, make_noise_pred_1pass,
+                                      make_noise_pred_2pass)
+    key = jax.random.PRNGKey(0)
+    m = _make_models(key, n_cn=3)
+    # ControlNet output convs are zero-initialized (diffusers convention);
+    # perturb so a random net produces nonzero residuals
+    leaves, treedef = jax.tree_util.tree_flatten(m.cn_params[2])
+    ks = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    m.cn_params[2] = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape)
+                  for l, k in zip(leaves, ks)])
+    dm = DenoiseModels(unet=m.unet, controlnets=m.controlnets, num_views=2)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    t = jnp.full((4,), 500, jnp.int32)
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 32))
+    tile = jnp.zeros((4, 64, 64, 3))
+    depth = jnp.zeros((4, 64, 64, 3))
+    src = jax.random.uniform(jax.random.PRNGKey(3), (4, 64, 64, 3))
+
+    one = make_noise_pred_1pass(dm)
+    eps_on = one(m.unet_params, m.cn_params, lat, t, embeds,
+                 [tile, depth, src], [1.0, 0.5, 1.0], 3.0)
+    eps_off = one(m.unet_params, m.cn_params, lat, t, embeds,
+                  [tile, depth, src], [1.0, 0.5, 0.0], 3.0)
+    assert not np.allclose(np.asarray(eps_on), np.asarray(eps_off),
+                           atol=1e-5)
+
+    p1, _ = make_noise_pred_2pass(dm)
+    e_with, _, res_with = p1(m.unet_params, m.cn_params, lat, t, embeds,
+                             None, 0.5, 3.0, extra_images=(src,),
+                             extra_scales=(1.0,))
+    e_without, _, res_without = p1(m.unet_params, m.cn_params, lat, t,
+                                   embeds, None, 0.5, 3.0)
+    assert not np.allclose(np.asarray(e_with), np.asarray(e_without),
+                           atol=1e-5)
+    assert res_without[0] is None and res_with[0] is not None
+
+
+@pytest.mark.slow
+def test_mvedit3d_view_pruning_and_schedules(tmp_path):
+    """The view schedule prunes cameras (weights -> 0) and gathers the
+    buffers down to the min bucket by the last step
+    (mvedit_3d_pipeline.py:45-49,1149-1215); schedules ride as traced
+    scalars (no per-step recompiles of the fit)."""
+    from mvedit_tpu.pipelines import MVEdit3DConfig, MVEdit3DPipeline
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.models.volume_renderer import RenderConfig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    key = jax.random.PRNGKey(0)
+    m = _make_models(key, hint_strides=1)
+    N = 6
+    size = 32
+    cfg = MVEdit3DConfig(
+        num_views=N, mid_num_views=4, min_num_views=2, keep_first_views=1,
+        render_size=size, render_size_ramp=True, latent_size=16,
+        diffusion_steps=6, n_inverse_steps=2, init_inverse_steps=2,
+        tet_resolution=8, tet_init_inverse_steps=2, patch_size=8,
+        patch_bs=1, ingp=TINY_INGP,
+        render=RenderConfig(num_samples=8, grid_size=8))
+    rng = np.random.default_rng(0)
+    from mvedit_tpu.apis.cameras import surround_rig as rig
+    poses, intr = rig(N, 2.5, 40, 0.0, 0.3, size, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {
+        "images": jnp.ones((N, size, size, 3)) * 0.5,
+        "masks": jnp.ones((N, size, size, 1)),
+        "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+        "cam_weights": jnp.ones((N,)),
+        "cam_lights": jnp.asarray(lights),
+    }
+    embeds = jnp.zeros((N, 8, 32))
+    pipe = MVEdit3DPipeline(m, cfg)
+    out = pipe(targets, jax.random.PRNGKey(1), embeds, embeds)
+    # by the final step the buffers must have been gathered to the
+    # min bucket (2 views)
+    assert out["renders"]["rgb"].shape[0] == cfg.min_num_views
+    assert out["mesh_state"] is not None
