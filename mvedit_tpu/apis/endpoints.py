@@ -96,7 +96,8 @@ class EndpointsMixin:
 
     # ------------------------------------------------------------------
     def _mvedit_cfg(self, num_views, steps, n_inverse_steps,
-                    init_inverse_steps):
+                    init_inverse_steps, keep_first_views=0, mode="2-pass",
+                    **overrides):
         from ..pipelines import MVEdit3DConfig
         from ..models.fields import INGPConfig
         from ..models.volume_renderer import RenderConfig
@@ -114,21 +115,36 @@ class EndpointsMixin:
                 log2_hashmap_size=12 if tiny else 19,
                 base_resolution=4 if tiny else 16,
                 max_resolution=32 if tiny else 320))
+        tet_resolution = overrides.pop("tet_resolution",
+                                       16 if tiny else 48)
         return MVEdit3DConfig(
             num_views=num_views,
+            # view schedule 32 -> 16 -> 9 (mvedit_3d_pipeline.py:45-49),
+            # clamped for small rigs / tiny tests
+            mid_num_views=min(16, num_views),
+            min_num_views=min(9, num_views),
+            keep_first_views=keep_first_views,
             render_size=64 if tiny else 512,
+            # tiny CI: skip the ramp's extra compiled programs (the ramp
+            # itself is covered by test_mvedit3d_view_pruning_and_schedules)
+            render_size_ramp=overrides.pop("render_size_ramp", not tiny),
             latent_size=8 if tiny else 64,
             diffusion_steps=steps,
             n_inverse_steps=n_inverse_steps,
             init_inverse_steps=init_inverse_steps,
-            # tet res 64 for now: (F,3) buffers at res 128 (13M faces)
-            # tile-pad 42x and OOM; channel-first mesh layouts are the
-            # round-2 fix
-            tet_resolution=16 if tiny else 48,
+            tet_init_inverse_steps=overrides.pop(
+                "tet_init_inverse_steps", 8 if tiny else 120),
+            tet_resolution=tet_resolution,
+            # decimation kicks in above the reference's 128 grid
+            # (mesh_reduction = 128/tet_resolution, adapter3d.py:1008)
+            mesh_reduction=min(1.0, 128 / tet_resolution),
             patch_size=16 if tiny else 128,
+            mode=mode,
+            use_lpips=overrides.pop("use_lpips", not tiny),
             ingp=ingp,
             render=RenderConfig(num_samples=32 if tiny else 128,
-                                grid_size=16 if tiny else 128))
+                                grid_size=16 if tiny else 128),
+            **overrides)
 
     def run_3d_to_3d(self, mesh_path, prompt, negative_prompt="", seed=42,
                      steps=None, num_views=None, n_inverse_steps=None,
@@ -146,11 +162,19 @@ class EndpointsMixin:
         m.controlnets, m.cn_params = self.load_controlnets(
             ("tile", "depth", "ip2p") if instruct else ("tile", "depth"))
         m.segment_fn = None
+        m.lpips_params = self.load_lpips()
         pre = self.run_mesh_preproc(mesh_path)
         mesh = pre["mesh"]
         c = self.constants
-        cfg = self._mvedit_cfg(num_views, steps, n_inverse_steps,
-                               init_inverse_steps)
+        # instruct mode runs 1-pass with cfg 5.0 and the ip2p net
+        # conditioned on the source renders (webui/parameters.py:136-148,
+        # adapter3d.py:965-969)
+        cfg = self._mvedit_cfg(
+            num_views, steps, n_inverse_steps, init_inverse_steps,
+            mode="1-pass" if instruct else "2-pass",
+            guidance_scale=5.0 if instruct else 7.0,
+            entropy_d=0.02 if instruct else 0.015,
+            start_lr=0.0075)
         rng = np.random.default_rng(seed)
         poses, intr = C.surround_rig(
             num_views, c["proc_3d_to_3d_camera_distance"],
@@ -159,9 +183,10 @@ class EndpointsMixin:
         lights, _ = cam_utils.light_sampling(poses, rng=rng)
         init = self.load_init_mesh(mesh, poses, intr, cfg.render_size,
                                    lights)
+        # no normal supervision here: the reference's run_3d_to_3d passes
+        # normal_model=None (adapter3d.py:974) — geometry is free to change
         targets = {
             "images": init["images"], "masks": init["masks"],
-            "normals": init["normals"],
             "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
             "cam_weights": jnp.ones((num_views,)),
             "cam_lights": jnp.asarray(lights),
@@ -232,7 +257,8 @@ class EndpointsMixin:
         return np.stack([grid[r * vh:(r + 1) * vh, c * vw:(c + 1) * vw]
                          for r in range(3) for c in range(2)])
 
-    def proc_zero123plus(self, image, seed=42, passes=None, num_steps=None):
+    def proc_zero123plus(self, image, seed=42, passes=None, num_steps=None,
+                         version="1.1"):
         """(3 original + 3 mirrored) Zero123++ passes -> stacked views
         (proc_zero123plus, adapter3d.py:456-514). Mirrored passes flip the
         input and un-mirror each output view. Returns (6*passes, h, w, 3)."""
@@ -243,15 +269,30 @@ class EndpointsMixin:
             mirrored = p % 2 == 1
             src = img[:, ::-1] if mirrored else img
             grid = self.run_zero123plus(src, seed=seed + p,
-                                        num_steps=num_steps)
+                                        num_steps=num_steps,
+                                        version=version)
             v6 = self._split_grid(grid)
             if mirrored:
                 v6 = v6[:, :, ::-1]
             views.append(v6)
         return np.concatenate(views, axis=0)
 
+    def run_zero123plus1_2(self, image, seed=42, num_steps=None):
+        """Zero123++ v1.2 6-view generation (adapter3d.py:752-765)."""
+        return self.run_zero123plus(image, seed=seed, num_steps=num_steps,
+                                    version="1.2")
+
+    def run_zero123plus1_2_to_mesh(self, image, seed=42, out_path=None,
+                                   passes=None, in_pose=None, **kwargs):
+        """v1.2 image-to-3D (adapter3d.py:859-952): the v1.2 camera rig
+        (30/-20 deg elevations, distance 3.37) with the same MVEdit loop."""
+        return self.run_zero123plus_to_mesh(
+            image, seed=seed, out_path=out_path, passes=passes,
+            in_pose=in_pose, version="1.2", **kwargs)
+
     def run_zero123plus_to_mesh(self, image, seed=42, out_path=None,
-                                passes=None, in_pose=None, **kwargs):
+                                passes=None, in_pose=None, version="1.1",
+                                **kwargs):
         """Full image-to-3D (adapter3d.py:767-857): Zero123++ multi-pass
         views + the input image as view 0 (weight 3.0, pose from elevation
         estimation when a matcher is loaded, else the default front pose)
@@ -259,13 +300,21 @@ class EndpointsMixin:
         from ..pipelines import MVEdit3DPipeline
         tiny = self.tiny
         passes = passes or (1 if self.tiny else 6)
-        views = self.proc_zero123plus(image, seed=seed, passes=passes)
-        poses44, fov, dist = C.zero123plus_v11_rig()
+        views = self.proc_zero123plus(image, seed=seed, passes=passes,
+                                      version=version)
+        poses44, fov, dist = (C.zero123plus_v11_rig() if version == "1.1"
+                              else C.zero123plus_v12_rig())
         n_gen = 6 * passes
         gen_poses = poses44[:n_gen, :3]
+        if in_pose is None and kwargs.get("estimate_pose", True):
+            # LoFTR elevation estimation of the input view against the
+            # first 6 generated views (adapter3d.py:793,
+            # pose_estimation.py:30-87)
+            in_pose, _ = self.estimate_input_pose(
+                image, [views[i] for i in range(min(6, len(views)))],
+                poses44[:min(6, len(views))], fov)
         if in_pose is None:
-            # default: front view at the rig's distance (pose estimation via
-            # LoFTR hooks in utils/pose_estimation when weights present)
+            # fallback: front view at the rig's distance
             in_pose = cam_utils.get_pose_from_angles(
                 np.asarray([0.0]), np.asarray([0.3]), dist)[0, :3]
         poses = np.concatenate([in_pose[None], gen_poses], axis=0)
@@ -274,12 +323,16 @@ class EndpointsMixin:
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets()
         m.segment_fn = None
+        m.lpips_params = self.load_lpips()
         steps = kwargs.get("steps", 2 if tiny else 24)
         cfg = self._mvedit_cfg(num_views, steps,
                                kwargs.get("n_inverse_steps",
                                           4 if tiny else 80),
                                kwargs.get("init_inverse_steps",
-                                          8 if tiny else 640))
+                                          8 if tiny else 640),
+                               # the input view (index 0) is never pruned
+                               # (keep_views, adapter3d.py:824)
+                               keep_first_views=1)
         size = cfg.render_size
         import jax.image as jimage
 
@@ -293,7 +346,21 @@ class EndpointsMixin:
         intr = np.tile(np.asarray(
             [focal, focal, size / 2, size / 2], np.float32),
             (num_views, 1))
-        masks = jnp.ones((num_views, size, size, 1))
+        # TRACER-matte the initial views (ref segments zero123++ outputs,
+        # zero123plus_postprocess + get_tgt_masks) and re-segment the
+        # decoded views every denoise step (mvedit_3d_pipeline.py:1254-1266)
+        if kwargs.get("segment", True):
+            masks = jnp.asarray(self.run_segmentation(views_r))
+            m.segment_fn = self.make_segment_fn()
+        else:
+            masks = jnp.ones((num_views, size, size, 1))
+        # Omnidata normal supervision of the input view (view 0) — other
+        # views get unsupervised normal TV (mvedit_3d_pipeline.py:248-303)
+        normals = None
+        if kwargs.get("use_normals", True):
+            n0 = self.predict_normals(views_r[:1])
+            normals = jnp.concatenate(
+                [n0, jnp.zeros((num_views - 1, size, size, 3))], axis=0)
         rng = np.random.default_rng(seed)
         lights, _ = cam_utils.light_sampling(poses, rng=rng)
         cam_w = np.asarray(
@@ -308,10 +375,18 @@ class EndpointsMixin:
             "cam_weights": jnp.asarray(cam_w),
             "cam_lights": jnp.asarray(lights),
         }
+        if normals is not None:
+            targets["normals"] = normals
+            targets["normal_weights"] = jnp.asarray(
+                [1.0] + [0.0] * (num_views - 1))
         prompt = kwargs.get("prompt", "")
         pos, neg = self.encode_prompt(
             m, [prompt] * num_views,
             [kwargs.get("negative_prompt", "")] * num_views)
+        if kwargs.get("use_ip_adapter", True):
+            # image-prompt the denoiser on the input image
+            # (ref get_prompt_embeds with ip_adapter, adapter3d.py:306-336)
+            self.enable_ip_adapter(m, jnp.asarray(image, jnp.float32))
         pipe = MVEdit3DPipeline(m, cfg)
         out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)
         if out_path and out["mesh"] is not None:
@@ -320,7 +395,8 @@ class EndpointsMixin:
 
     # ------------------------------------------------------------------
     def run_texture_superres(self, mesh_path, prompt="", negative_prompt="",
-                             seed=42, steps=None, out_path=None):
+                             seed=42, steps=None, out_path=None,
+                             use_ip_adapter=True):
         """Texture super-resolution endpoint (proc_texture_superres,
         adapter3d.py:578-624): 6 surround + 2 polar reg views, img2img with
         tile+depth control, texture optimized at the final step only."""
@@ -331,6 +407,7 @@ class EndpointsMixin:
         tiny = self.tiny
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets()
+        m.lpips_params = self.load_lpips()
         pre = self.run_mesh_preproc(mesh_path)
         mesh = pre["mesh"]
         c = self.constants
@@ -349,6 +426,11 @@ class EndpointsMixin:
                     resolutions=(8, 32) if tiny else (32, 160))))
         pos, neg = self.encode_prompt(
             m, [prompt] * cfg.num_views, [negative_prompt] * cfg.num_views)
+        if use_ip_adapter and mesh.albedo is not None:
+            # condition on the input texture (ref superres IP-Adapter
+            # per-view cond select, superres pipeline :62-87; here the
+            # albedo atlas is the shared image prompt)
+            self.enable_ip_adapter(m, jnp.asarray(mesh.albedo))
         pipe = TextureSuperResPipeline(m, cfg)
         out = pipe(mesh, jnp.asarray(all_poses), jnp.asarray(intr), pos,
                    neg, jax.random.PRNGKey(seed))

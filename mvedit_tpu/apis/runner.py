@@ -155,6 +155,211 @@ class Adapter3DRunner(EndpointsMixin):
             params.append(p)
         return tuple(nets), params
 
+    def enable_ip_adapter(self, m, image, num_tokens=4):
+        """Image-prompt conditioning (ref IP-Adapter,
+        lib/models/architecture/ip_adapter/ip_adapter.py:32-171 +
+        adapter3d.py:306-336 load_ip_adapter):
+
+        1. CLIP-vision-encode `image` -> global embed;
+        2. ImageProjModel -> `num_tokens` context tokens (uncond = tokens
+           of the zero embed, ip_adapter.py:94-100);
+        3. graft ip_to_k/ip_to_v branches onto the UNet params
+           (converted from the HF checkpoint when present, else seeded).
+
+        Sets m.ip_context (2, T, C) [uncond; cond] and returns it; the
+        pipelines pick it up via `models.ip_context`.
+        """
+        from ..models.diffusion import (CLIPVisionConfig, CLIPVisionModel,
+                                        AttnMode)
+        from ..models.diffusion.ip_adapter import ImageProjModel
+        from ..models.diffusion.weights import merge_params
+        key = jax.random.PRNGKey(self.seed + 7)
+        if self.tiny:
+            vcfg = CLIPVisionConfig(image_size=32, patch_size=8,
+                                    hidden_size=32, intermediate_size=64,
+                                    num_layers=2, num_heads=4,
+                                    projection_dim=32)
+        else:
+            vcfg = CLIPVisionConfig()
+        if "ip_vision" not in self._cache:
+            from ..models.diffusion import weights as W
+            vision = CLIPVisionModel(vcfg)
+            vp = self._load_params(
+                "ip_vision_params",
+                lambda: vision.init(key, jnp.zeros(
+                    (1, vcfg.image_size, vcfg.image_size, 3)))["params"],
+                lambda sd: W.convert_clip_vision(sd),
+                subdir="ip_adapter_vision")
+            self._cache["ip_vision"] = (vision, vp)
+        vision, vp = self._cache["ip_vision"]
+        ctx_dim = m.text_cfg.hidden_size
+        proj = ImageProjModel(cross_attention_dim=ctx_dim,
+                              clip_embed_dim=vcfg.projection_dim,
+                              num_tokens=num_tokens)
+        # converted proj weights + unet ip branches when a checkpoint is
+        # present; otherwise seeded-random init (zero egress)
+        ip_np = None
+        if self.checkpoint_dir:
+            import numpy as _np
+            p = os.path.join(self.checkpoint_dir, "ip_adapter",
+                             "ip_adapter.npz")
+            if os.path.exists(p):
+                d = _np.load(p)
+                ip_np = {k: d[k] for k in d.files}
+        if ip_np is not None:
+            from ..models.diffusion.weights import unflatten
+            tree = unflatten(ip_np)
+            proj_params = tree["image_proj"]
+            m.unet_params = merge_params(m.unet_params,
+                                         tree["unet_patch"])
+        else:
+            proj_params = proj.init(
+                key, jnp.zeros((1, vcfg.projection_dim)))["params"]
+            # seed the ip branches by initializing the UNet in ip mode
+            lat = jnp.zeros((1, 8, 8, 4))
+            t0 = jnp.zeros((1,), jnp.int32)
+            ctx = jnp.zeros((1, 8, ctx_dim))
+            ipc = jnp.zeros((1, num_tokens, ctx_dim))
+            full = m.unet.init(key, lat, t0, ctx,
+                               mode=AttnMode(ip_tokens=num_tokens),
+                               ip_context=ipc)["params"]
+            m.unet_params = merge_params(full, m.unet_params)
+        img = jnp.asarray(image, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        img = jax.image.resize(
+            img, (1, vcfg.image_size, vcfg.image_size, 3), "bilinear")
+        # CLIP normalization
+        mean = jnp.asarray([0.4815, 0.4578, 0.4082])
+        std = jnp.asarray([0.2686, 0.2613, 0.2758])
+        emb = vision.apply({"params": vp}, (img - mean) / std)
+        tok_c = proj.apply({"params": proj_params}, emb)
+        tok_u = proj.apply({"params": proj_params}, jnp.zeros_like(emb))
+        m.ip_context = jnp.concatenate([tok_u, tok_c], axis=0)
+        return m.ip_context
+
+    def load_matcher(self):
+        """LoFTR matcher (ref indoor_ds_new.ckpt via loftr/,
+        adapter3d.py:411-423)."""
+        from ..models.segmentors.loftr import LoFTR
+        if "loftr" not in self._cache:
+            net = LoFTR(layers=1 if self.tiny else 4)
+            s = 32 if self.tiny else 256
+            params = self._load_params(
+                "loftr_params",
+                lambda: net.init(jax.random.PRNGKey(self.seed),
+                                 jnp.zeros((1, s, s, 1)),
+                                 jnp.zeros((1, s, s, 1))),
+                self._loftr_convert, subdir="loftr")
+            self._cache["loftr"] = (net, params)
+        return self._cache["loftr"]
+
+    @staticmethod
+    def _loftr_convert(sd):
+        from ..models.segmentors.loftr import convert_loftr
+        return convert_loftr(sd)
+
+    def load_normal_model(self):
+        """Omnidata DPT-hybrid surface-normal predictor
+        (adapter3d.py:338-361)."""
+        from ..models.segmentors.dpt import DPTNormalModel
+        if "dpt" not in self._cache:
+            if self.tiny:
+                net = DPTNormalModel(vit_layers=2, readout_taps=(0, 1))
+                s = 32
+            else:
+                net = DPTNormalModel()
+                s = 384
+            params = self._load_params(
+                "dpt_params",
+                lambda: net.init(jax.random.PRNGKey(self.seed),
+                                 jnp.zeros((1, s, s, 3))),
+                self._dpt_convert, subdir="omnidata")
+            self._cache["dpt"] = (net, params, s)
+        return self._cache["dpt"]
+
+    @staticmethod
+    def _dpt_convert(sd):
+        from ..models.segmentors.dpt import convert_dpt
+        return convert_dpt(sd)
+
+    def predict_normals(self, images):
+        """(N,H,W,3) [0,1] -> (N,H,W,3) normal maps in [0,1] at the input
+        resolution (the reference runs Omnidata at 384 then resizes,
+        mvedit_3d_pipeline.py:263-284)."""
+        net, params, s = self.load_normal_model()
+        imgs = jnp.asarray(images)
+        n, h, w = imgs.shape[:3]
+        x = jax.image.resize(imgs, (n, s, s, 3), "bilinear")
+        out = jax.jit(lambda p, z: net.apply(p, z))(params, x)
+        return jax.image.resize(out, (n, h, w, 3), "bilinear")
+
+    def estimate_input_pose(self, image, views, view_poses, fov,
+                            match_size=None):
+        """Elevation-only pose of the user's input image vs generated
+        views via LoFTR + epipolar least squares
+        (lib/core/utils/pose_estimation.py:30-87, called adapter3d.py:793).
+        Returns a (3,4) pose at azimuth 0 and the rig's mean distance."""
+        from ..models.segmentors.loftr import match_images
+        from ..utils.pose_estimation import elev_estimation
+        net, params = self.load_matcher()
+        s = match_size or (32 if self.tiny else 256)
+
+        def prep(im):
+            im = jnp.asarray(im, jnp.float32)
+            g = im.mean(-1, keepdims=True)
+            return jax.image.resize(g, (s, s, 1), "bilinear")[None]
+
+        apply_fn = jax.jit(lambda p, a, b: net.apply(p, a, b))
+        img0 = prep(image)
+        matches = []
+        for v in views:
+            pts0, pts1, conf = match_images(apply_fn, params, img0, prep(v))
+            matches.append((pts0, pts1, conf))
+        if sum(len(m[0]) for m in matches) < 8:
+            return None, 0.0   # matcher found nothing usable; caller
+                               # falls back to the canned front pose
+        focal = s / (2 * math.tan(math.radians(fov / 2)))
+        intr = np.asarray([focal, focal, s / 2, s / 2], np.float32)
+        elev, pose = elev_estimation(matches, np.asarray(view_poses), intr)
+        return np.asarray(pose)[:3], elev
+
+    def load_lpips(self):
+        """LPIPS VGG params for the pipelines' patch losses
+        (lib/models/losses/lpips_loss.py:14; shared instance)."""
+        from ..models import losses as L
+        if self.tiny:
+            # tiny CI skips the VGG tower (LPIPS plumbing is unit-tested);
+            # pipelines treat lpips_params=None as "off"
+            return None
+        if "lpips" not in self._cache:
+            path = None
+            if self.checkpoint_dir:
+                for fname in ("lpips_vgg.safetensors", "lpips_vgg.bin"):
+                    p = os.path.join(self.checkpoint_dir, "lpips", fname)
+                    if os.path.exists(p):
+                        path = p
+                        break
+            if path is not None:
+                from ..models.diffusion.weights import load_torch_state
+                sd = load_torch_state(path)
+                # lin heads: normalized "linK" keys (our converter) or the
+                # lpips package's "linK.model.1.weight"
+                if "lin0" in sd:
+                    lins = [sd[f"lin{i}"] for i in range(5)]
+                else:
+                    lins = [sd[f"lin{i}.model.1.weight"] for i in range(5)]
+                params = L.lpips_params_from_torch(sd, lins)
+            else:
+                params = L.lpips_init(jax.random.PRNGKey(self.seed))
+            if not self.tiny:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x, params)
+            self._cache["lpips"] = params
+        return self._cache["lpips"]
+
     def encode_prompt(self, m, prompts, negative_prompts):
         """(pos (N,L,C), neg (N,L,C)) text embeddings."""
         ids_p = jnp.asarray(self.tokenizer(prompts))
@@ -169,29 +374,97 @@ class Adapter3DRunner(EndpointsMixin):
     def run_segmentation(self, images, seed=42):
         """TRACER foreground masks. images: (N, H, W, 3) [0,1]
         (adapter3d.py:720 run_segmentation)."""
-        from ..models.segmentors import TracerDecoder, tracer_segment
-        if "tracer" not in self._cache:
-            dec = TracerDecoder()
-            params = dec.init(jax.random.PRNGKey(seed),
-                              jnp.zeros((1, 64, 64, 3)))
-            self._cache["tracer"] = (dec, params)
-        dec, params = self._cache["tracer"]
+        dec, params = self.load_tracer(seed=seed)
+        from ..models.segmentors import tracer_segment
         return tracer_segment(lambda p, x: dec.apply(p, x), params,
                               jnp.asarray(images),
                               input_size=64 if self.tiny else 640)
 
+    def load_tracer(self, seed=None):
+        """TRACER-B7 through the checkpoint path (ref Carve/tracer_b7,
+        adapter3d.py:211-216) — converted weights when present, seeded
+        random init otherwise."""
+        from ..models.segmentors import TracerDecoder
+        if "tracer_model" not in self._cache:
+            dec = TracerDecoder()
+            seed = self.seed if seed is None else seed
+            params = self._load_params(
+                "tracer", lambda: dec.init(jax.random.PRNGKey(seed),
+                                           jnp.zeros((1, 64, 64, 3))),
+                self._tracer_convert, subdir="tracer")
+            self._cache["tracer_model"] = (dec, params)
+        return self._cache["tracer_model"]
+
+    @staticmethod
+    def _tracer_convert(sd):
+        from ..models.segmentors.tracer import convert_tracer
+        return convert_tracer(sd)
+
+    def make_segment_fn(self):
+        """Per-step segmentation hook for the MVEdit loop (the reference
+        TRACER-masks decoded views every denoise step,
+        mvedit_3d_pipeline.py:1254-1266)."""
+        dec, params = self.load_tracer()
+        from ..models.segmentors import tracer_segment
+        size = 64 if self.tiny else 640
+
+        def segment_fn(images):
+            return tracer_segment(lambda p, x: dec.apply(p, x), params,
+                                  images, input_size=size)
+        return segment_fn
+
     def run_mesh_preproc(self, mesh_path, out_path=None):
         """Load + normalize an input mesh (adapter3d.py:677 run_mesh_preproc
-        / preprocess_mesh mesh_utils.py:969)."""
-        mesh = Mesh.load(mesh_path)
+        / preprocess_mesh mesh_utils.py:969-1029): multi-material scenes
+        merge into one atlas-packed mesh; vertex colors convert to a
+        texture; normalize to radius 0.9."""
+        mesh_path = str(mesh_path)
+        if mesh_path.endswith((".glb", ".gltf")):
+            parts = Mesh.load_glb_parts(mesh_path)
+            if len(parts) > 1:
+                from ..models.mesh.atlas import merge_meshes
+                mesh = merge_meshes(parts)
+            else:
+                mesh = parts[0]
+        else:
+            mesh = Mesh.load(mesh_path)
         center, scale = mesh.auto_size(0.9)
         if mesh.vn is None:
             mesh.auto_normal()
         if mesh.vt is None:
             mesh.auto_uv()
+        if mesh.albedo is None and mesh.vc is not None:
+            mesh.albedo = self._vc_to_texture(mesh)
         if out_path:
             mesh.write(out_path)
         return {"mesh": mesh, "center": center, "scale": scale}
+
+    @staticmethod
+    def _vc_to_texture(mesh, size=512):
+        """Bake per-vertex colors into a UV texture (ref vc->texture in
+        preprocess_mesh, mesh_utils.py:1000-1010): nearest-vertex lookup
+        in UV space + edge dilation — vertex colors are low-frequency, so
+        nearest interpolation suffices for re-texturing init renders."""
+        from scipy.spatial import cKDTree
+        from ..ops.image import edge_dilation
+        vt = np.asarray(mesh.vt)
+        ft = np.asarray(mesh.ft if mesh.ft is not None else mesh.f)
+        f = np.asarray(mesh.f)
+        vc = np.asarray(mesh.vc, np.float32)
+        # per-UV-vertex color: a UV vertex maps to the mesh vertex sharing
+        # its face corner
+        uv_color = np.zeros((len(vt), 3), np.float32)
+        uv_color[ft.reshape(-1)] = vc[f.reshape(-1)]
+        tree = cKDTree(vt)
+        yy, xx = np.mgrid[0:size, 0:size]
+        pix_uv = np.stack([(xx + 0.5) / size, (yy + 0.5) / size],
+                          axis=-1).reshape(-1, 2)
+        dist, idx = tree.query(pix_uv)
+        tex = uv_color[idx].reshape(size, size, 3)
+        near = (dist < 4.0 / size).reshape(size, size).astype(np.float32)
+        tex = np.asarray(edge_dilation(
+            jnp.asarray(tex), jnp.asarray(near), n_iters=16))
+        return np.clip(tex, 0.0, 1.0)
 
     def run_retex(self, mesh_path, prompt, negative_prompt="", seed=42,
                   steps=12, denoising_strength=0.7, cfg_scale=7.0,
@@ -204,6 +477,7 @@ class Adapter3DRunner(EndpointsMixin):
         from ..ops.hash_grid import HashGridConfig
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets()
+        m.lpips_params = self.load_lpips()
         num_views = num_views or (4 if self.tiny else 12)
         render_size = render_size or (64 if self.tiny else 512)
         from ..ops.dense_grid import DenseGridConfig

@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["convert_unet", "convert_controlnet", "convert_vae",
            "convert_clip_text", "convert_clip_vision", "load_torch_state",
-           "unflatten"]
+           "unflatten", "convert_ip_adapter", "merge_params"]
 
 
 def load_torch_state(path):
@@ -250,3 +250,87 @@ def convert_clip_vision(sd, strict=False):
         tree["position_embedding"] = np.asarray(
             sd["vision_model.embeddings.position_embedding.weight"])
     return tree, unmatched
+
+
+def _attn2_paths(cfg):
+    """My UNet's cross-attn module paths in diffusers attn_processors
+    order — down blocks, then UP blocks, then mid (torch named_children
+    order: the ModuleLists are registered before mid_block in
+    UNet2DConditionModel.__init__) — the order the HF IP-Adapter
+    checkpoint numbers its `ip_adapter.{i}` entries by
+    (ip_adapter/ip_adapter.py set_ip_adapter)."""
+    paths = []
+    n_blocks = len(cfg.block_out_channels)
+    depth = getattr(cfg, "transformer_depth", 1)
+
+    def tb(base):
+        for d in range(depth):
+            paths.append(base + (f"transformer_blocks_{d}", "attn2"))
+
+    for bi in range(n_blocks):
+        if cfg.attn_down[bi]:
+            for li in range(cfg.layers_per_block):
+                tb((f"down_{bi}_attentions_{li}",))
+    for ui, bi in enumerate(reversed(range(n_blocks))):
+        if cfg.attn_down[bi]:
+            for li in range(cfg.layers_per_block + 1):
+                tb((f"up_{ui}_attentions_{li}",))
+    tb(("mid_attentions_0",))
+    return paths
+
+
+def convert_ip_adapter(sd, cfg, plus=False):
+    """HF IP-Adapter checkpoint (h94/IP-Adapter ip-adapter_sd15.bin layout:
+    image_proj.* + ip_adapter.{2k+1}.to_{k,v}_ip.weight) ->
+    (proj_params, unet_ip_patch, unmatched).
+
+    `unet_ip_patch` holds {attn2 path: {ip_to_k/ip_to_v: {kernel}}} to be
+    merged into the UNet params (merge_params)."""
+    unmatched = []
+    proj = {}
+    for k, v in sd.items():
+        if k == "image_proj.proj.weight":
+            proj.setdefault("proj", {})["kernel"] = np.asarray(v).T
+        elif k == "image_proj.proj.bias":
+            proj.setdefault("proj", {})["bias"] = np.asarray(v)
+        elif k == "image_proj.norm.weight":
+            proj.setdefault("norm", {})["scale"] = np.asarray(v)
+        elif k == "image_proj.norm.bias":
+            proj.setdefault("norm", {})["bias"] = np.asarray(v)
+        elif not k.startswith("ip_adapter."):
+            if not k.startswith("image_proj."):
+                unmatched.append(k)
+    # ip_adapter entries: numbered over ALL attn processors; only attn2
+    # (odd indices) carry weights
+    entries = {}
+    for k, v in sd.items():
+        m = re.match(r"ip_adapter\.(\d+)\.to_([kv])_ip\.weight$", k)
+        if m:
+            entries.setdefault(int(m.group(1)), {})[m.group(2)] = \
+                np.asarray(v)
+    paths = _attn2_paths(cfg)
+    patch = {}
+    ids = sorted(entries)
+    if len(ids) != len(paths):
+        unmatched.append(
+            f"ip_adapter entry count {len(ids)} != attn2 count {len(paths)}")
+    for idx, path in zip(ids, paths):
+        node = patch
+        for p in path:
+            node = node.setdefault(p, {})
+        node["ip_to_k"] = {"kernel": entries[idx]["k"].T}
+        node["ip_to_v"] = {"kernel": entries[idx]["v"].T}
+    return proj, patch, unmatched
+
+
+def merge_params(base, patch):
+    """Recursively merge `patch` into a copy of `base` (new leaves allowed
+    — used to graft IP-Adapter ip_to_k/ip_to_v branches onto a converted
+    UNet tree)."""
+    out = dict(base)
+    for k, v in patch.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out

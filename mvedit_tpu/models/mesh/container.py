@@ -336,6 +336,34 @@ class Mesh:
 
     @classmethod
     def load_glb(cls, path):
+        """Load a GLB flattened into one Mesh (first texture wins). For
+        multi-material scenes use `load_glb_parts` + atlas.merge_meshes
+        (run_mesh_preproc does; ref preprocess_mesh mesh_utils.py:969)."""
+        parts = cls.load_glb_parts(path)
+        if len(parts) == 1:
+            return parts[0]
+        vs = np.concatenate([p.v for p in parts])
+        voff = np.cumsum([0] + [len(p.v) for p in parts[:-1]])
+        f = np.concatenate([p.f + o for p, o in zip(parts, voff)])
+        all_vt = all(p.vt is not None and len(p.vt) == len(p.v)
+                     for p in parts)
+        all_vn = all(p.vn is not None for p in parts)
+        all_vc = all(p.vc is not None for p in parts)
+        vt = np.concatenate([p.vt for p in parts]) if all_vt else None
+        vn = np.concatenate([p.vn for p in parts]) if all_vn else None
+        vc = np.concatenate([p.vc for p in parts]) if all_vc else None
+        albedo = next((p.albedo for p in parts if p.albedo is not None),
+                      None)
+        return cls(v=vs, f=f, vt=vt,
+                   ft=f.copy() if vt is not None else None,
+                   vn=vn, fn=f.copy() if vn is not None else None,
+                   albedo=albedo, vc=vc, textureless=vt is None)
+
+    @classmethod
+    def load_glb_parts(cls, path):
+        """Parse a GLB into per-primitive Meshes, each with its own
+        material texture / base color (multi-material scene support,
+        ref mesh_utils.py:969-1029 preprocess_mesh + imagepacker)."""
         with open(path, "rb") as fh:
             magic, ver, _ = struct.unpack("<III", fh.read(12))
             assert magic == 0x46546C67, "not a GLB file"
@@ -358,41 +386,62 @@ class Mesh:
                   5121: np.uint8}[acc["componentType"]]
             count = acc["count"]
             arr = np.frombuffer(bin_chunk, dt, count * ncomp, off)
-            return arr.reshape(count, ncomp) if ncomp > 1 else arr
+            arr = arr.reshape(count, ncomp) if ncomp > 1 else arr
+            if acc["componentType"] in (5123, 5121) \
+                    and acc["type"] != "SCALAR":
+                # normalized integer attributes (e.g. COLOR_0 u8/u16)
+                arr = arr.astype(np.float32) / np.float32(
+                    {5123: 65535, 5121: 255}[acc["componentType"]])
+            return arr
 
-        vs, fs, vts, vns, vcs = [], [], [], [], []
-        albedo = None
-        voffset = 0
+        def read_image(ii):
+            from PIL import Image
+            img = gltf["images"][ii]
+            if "bufferView" not in img:
+                return None
+            view = gltf["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            data = bin_chunk[off:off + view["byteLength"]]
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                              np.float32) / 255.0
+
+        def material_albedo(mi):
+            if mi is None or "materials" not in gltf:
+                return None
+            mat = gltf["materials"][mi]
+            pbr = mat.get("pbrMetallicRoughness", {})
+            tex = pbr.get("baseColorTexture")
+            if tex is not None and "textures" in gltf:
+                src = gltf["textures"][tex["index"]].get("source")
+                if src is not None:
+                    return read_image(src)
+            fac = pbr.get("baseColorFactor")
+            if fac is not None:
+                return np.broadcast_to(
+                    np.asarray(fac[:3], np.float32), (16, 16, 3)).copy()
+            return None
+
+        parts = []
         for mesh in gltf.get("meshes", []):
             for prim in mesh["primitives"]:
                 att = prim["attributes"]
                 v = read_accessor(att["POSITION"]).astype(np.float32)
-                f = read_accessor(prim["indices"]).astype(np.int32)
-                fs.append(f.reshape(-1, 3) + voffset)
-                vs.append(v)
-                if "TEXCOORD_0" in att:
-                    vts.append(read_accessor(att["TEXCOORD_0"]).astype(np.float32))
-                if "NORMAL" in att:
-                    vns.append(read_accessor(att["NORMAL"]).astype(np.float32))
+                f = read_accessor(prim["indices"]).astype(
+                    np.int32).reshape(-1, 3)
+                vt = read_accessor(att["TEXCOORD_0"]).astype(np.float32) \
+                    if "TEXCOORD_0" in att else None
+                vn = read_accessor(att["NORMAL"]).astype(np.float32) \
+                    if "NORMAL" in att else None
+                vc = None
                 if "COLOR_0" in att:
-                    c = read_accessor(att["COLOR_0"]).astype(np.float32)
-                    vcs.append(c[:, :3])
-                voffset += len(v)
-        if "images" in gltf and gltf["images"]:
-            from PIL import Image
-            img = gltf["images"][0]
-            if "bufferView" in img:
-                view = gltf["bufferViews"][img["bufferView"]]
-                off = view.get("byteOffset", 0)
-                data = bin_chunk[off:off + view["byteLength"]]
-                albedo = np.asarray(
-                    Image.open(io.BytesIO(data)).convert("RGB"),
-                    np.float32) / 255.0
-        v = np.concatenate(vs)
-        f = np.concatenate(fs)
-        vt = np.concatenate(vts) if len(vts) == len(vs) and vts else None
-        vn = np.concatenate(vns) if len(vns) == len(vs) and vns else None
-        vc = np.concatenate(vcs) if len(vcs) == len(vs) and vcs else None
-        return cls(v=v, f=f, vt=vt, ft=f.copy() if vt is not None else None,
-                   vn=vn, fn=f.copy() if vn is not None else None,
-                   albedo=albedo, vc=vc, textureless=vt is None)
+                    vc = np.asarray(read_accessor(att["COLOR_0"]),
+                                    np.float32)[:, :3]
+                albedo = material_albedo(prim.get("material"))
+                parts.append(cls(
+                    v=v, f=f, vt=vt,
+                    ft=f.copy() if vt is not None else None,
+                    vn=vn, fn=f.copy() if vn is not None else None,
+                    albedo=albedo, vc=vc, textureless=vt is None))
+        if not parts:
+            raise ValueError(f"no mesh primitives in {path}")
+        return parts

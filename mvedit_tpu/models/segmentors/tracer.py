@@ -52,7 +52,7 @@ class DWConv(nn.Module):
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
                     padding=self.padding,
                     kernel_dilation=(self.dilation, self.dilation),
-                    feature_group_count=c, name="conv")(x)
+                    feature_group_count=c, use_bias=False, name="conv")(x)
         from .efficientnet import BN
         x = BN(name="bn")(x)
         return jax.nn.relu(x)
@@ -68,11 +68,13 @@ class DWSConv(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         x = nn.Conv(c, (self.kernel, self.kernel), padding=self.padding,
-                    feature_group_count=c, name="depthwise")(x)
+                    feature_group_count=c, use_bias=False,
+                    name="depthwise")(x)
         from .efficientnet import BN
         x = BN(name="bn1")(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), name="pointwise")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name="pointwise")(x)
         x = BN(name="bn2")(x)
         return jax.nn.relu(x)
 
@@ -246,3 +248,117 @@ def tracer_segment(apply_fn, params, images, input_size=640, erosion=1):
     failure = jnp.all(mask.reshape(n, -1) > 0.2, axis=1)
     mask = jnp.where(failure[:, None, None, None] & (mask < 0.8), 0.0, mask)
     return jnp.clip(mask, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (ref Carve/tracer_b7; TRACER class layout from
+# lib/models/architecture/tracerb7/{tracer,att_modules,conv_modules,
+# efficientnet}.py)
+# ---------------------------------------------------------------------------
+
+_BN_MAP = {"weight": "scale", "bias": "bias",
+           "running_mean": "mean", "running_var": "var"}
+
+
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv_w(v):
+    import numpy as np
+    return np.asarray(v).transpose(2, 3, 1, 0)  # OIHW -> HWIO (depthwise
+    # torch (C,1,kh,kw) lands as (kh,kw,1,C), flax grouped-conv layout)
+
+
+def convert_tracer(sd):
+    """Reference TRACER-B7 state_dict -> flax variables for TracerDecoder.
+
+    Returns ({"params": tree}, unmatched_keys). BN statistics become plain
+    params of the inference `BN` module.
+    """
+    import re
+    import numpy as np
+
+    params = {}
+    unmatched = []
+    for k, v in sd.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        v = np.asarray(v)
+        # ---- encoder (EfficientNet-B7) --------------------------------
+        if k.startswith("encoder."):
+            ek = k[len("encoder."):]
+            if ek in ("_conv_head.weight", "_bn1.weight", "_bn1.bias",
+                      "_bn1.running_mean", "_bn1.running_var",
+                      "_fc.weight", "_fc.bias") and "_blocks" not in ek:
+                continue  # classifier head: unused by TRACER features
+            m = re.match(r"_conv_stem\.weight$", ek)
+            if m:
+                _put(params, ("encoder", "stem_conv", "kernel"), _conv_w(v))
+                continue
+            m = re.match(r"_bn0\.(\w+)$", ek)
+            if m and m.group(1) in _BN_MAP:
+                _put(params, ("encoder", "stem_bn", _BN_MAP[m.group(1)]), v)
+                continue
+            m = re.match(
+                r"_blocks\.(\d+)\._(expand_conv|depthwise_conv|"
+                r"project_conv)\.weight$", ek)
+            if m:
+                _put(params, ("encoder", f"blocks_{m.group(1)}",
+                              m.group(2), "kernel"), _conv_w(v))
+                continue
+            m = re.match(r"_blocks\.(\d+)\._se_(reduce|expand)\."
+                         r"(weight|bias)$", ek)
+            if m:
+                name = f"se_{m.group(2)}"
+                leaf = "kernel" if m.group(3) == "weight" else "bias"
+                _put(params, ("encoder", f"blocks_{m.group(1)}", name,
+                              leaf), _conv_w(v) if leaf == "kernel" else v)
+                continue
+            m = re.match(r"_blocks\.(\d+)\._bn([012])\.(\w+)$", ek)
+            if m and m.group(3) in _BN_MAP:
+                _put(params, ("encoder", f"blocks_{m.group(1)}",
+                              f"bn{m.group(2)}", _BN_MAP[m.group(3)]), v)
+                continue
+            if ek.endswith("num_batches_tracked"):
+                continue
+            unmatched.append(k)
+            continue
+        # ---- decoder ---------------------------------------------------
+        if k.endswith("num_batches_tracked"):
+            continue
+        dk = k
+        # Sequential indices fold into flax names: branch1.2 -> branch1_2,
+        # DWConv1.0 -> DWConv1_0, UAM.norm.0 -> UAM.norm_bn
+        dk = re.sub(r"\.norm\.0\.", ".norm_bn.", dk)
+        dk = re.sub(r"(branch\d)\.(\d)\.", r"\1_\2.", dk)
+        dk = re.sub(r"(DWConv\d)\.(\d)\.", r"\1_\2.", dk)
+        # DWSConv internals
+        dk = dk.replace(".DWSConv.DWConv.", ".DWSConv.depthwise.")
+        dk = dk.replace(".DWSConv.PWConv.", ".DWSConv.pointwise.")
+        dk = dk.replace(".DWSConv.bn2.", ".DWSConv.__bn2__.")
+        dk = dk.replace(".DWSConv.bn.", ".DWSConv.bn1.")
+        dk = dk.replace(".DWSConv.__bn2__.", ".DWSConv.bn2.")
+        # inner DWConv of DWConvN_M blocks
+        dk = re.sub(r"(DWConv\d_\d)\.DWConv\.", r"\1.conv.", dk)
+        parts = dk.split(".")
+        leaf = parts[-1]
+        mod = parts[:-1]
+        if leaf == "weight" and v.ndim == 4:
+            _put(params, tuple(mod) + ("kernel",), _conv_w(v))
+        elif leaf in _BN_MAP and (
+                parts[-2].startswith("bn") or parts[-2] == "norm_bn"
+                or parts[-2].endswith("bn")) and v.ndim == 1:
+            _put(params, tuple(mod[:-1]) + (parts[-2], _BN_MAP[leaf]), v)
+        elif leaf == "bias" and v.ndim == 1:
+            _put(params, tuple(mod) + ("bias",), v)
+        elif leaf == "weight" and v.ndim == 1:
+            # 1-d weight on a bn-like module
+            _put(params, tuple(mod) + ("scale",), v)
+        else:
+            unmatched.append(k)
+    return {"params": params}, unmatched

@@ -85,3 +85,29 @@ def test_glb_to_obj_cli(tmp_path):
         env=ENV, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "a.obj"))
+
+
+def test_webui_endpoint_names_match_reference():
+    """The gradio tab tree must expose the reference's named API endpoints
+    (app.py:94-186) — checked structurally so the test runs without
+    gradio installed."""
+    import re
+    src = open("mvedit_tpu/apis/webui.py").read()
+    # endpoint names appear as string literals (directly in api_name=,
+    # in api-name tuples, or as f-string templates split across lines)
+    src = re.sub(r'"\s*\n\s*"', "", src)   # join adjacent string literals
+    names = set(re.findall(r'"([a-z0-9_{}.]+)"', src))
+    for n in list(names):
+        if "{vt}" in n:
+            for vt in ("1_1", "1_2"):
+                names.add(n.replace("{vt}", vt))
+    expected = {
+        "text_to_3d_stablessdnerf", "text_to_3d_stablessdnerf_to_mesh",
+        "text_to_img", "image_segmentation",
+        "img_to_3d_1_1_zero123plus", "img_to_3d_1_1_zero123plus_to_mesh",
+        "img_to_3d_1_2_zero123plus", "img_to_3d_1_2_zero123plus_to_mesh",
+        "3d_preproc", "3d_to_3d_mvedit", "3d_to_3d_mvedit_instruct",
+        "retex_mvedit", "retex_mvedit_instruct", "mesh_to_video",
+    }
+    missing = expected - names
+    assert not missing, f"webui missing reference endpoints: {missing}"

@@ -227,3 +227,121 @@ def test_merge_meshes_atlas():
     assert len(merged.f) == 2
     assert merged.albedo is not None
     assert (merged.vt >= 0).all() and (merged.vt <= 1).all()
+
+
+def test_multimaterial_glb_parts_and_preproc(tmp_path):
+    """A 2-primitive / 2-material GLB loads as parts with per-material
+    textures and round-trips through run_mesh_preproc's atlas merge
+    (ref preprocess_mesh mesh_utils.py:969-1029 + imagepacker)."""
+    import io as _io
+    import json
+    import struct
+    from PIL import Image
+    from mvedit_tpu.models.mesh import Mesh
+
+    def png_bytes(color, size=8):
+        im = Image.new("RGB", (size, size), color)
+        buf = _io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # two unit quads at z=0 and z=1, each with its own texture
+    def quad(z):
+        v = np.array([[0, 0, z], [1, 0, z], [1, 1, z], [0, 1, z]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.uint16)
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        return v, f, uv
+
+    bin_parts = []
+    accessors, views = [], []
+    offset = 0
+
+    def add_blob(data, target=None):
+        nonlocal offset
+        pad = (-len(data)) % 4
+        data = data + b"\x00" * pad
+        views.append({"buffer": 0, "byteOffset": offset,
+                      "byteLength": len(data)})
+        bin_parts.append(data)
+        offset += len(data)
+        return len(views) - 1
+
+    prims = []
+    for i in range(2):
+        v, f, uv = quad(float(i))
+        vi = add_blob(v.tobytes())
+        accessors.append({"bufferView": vi, "componentType": 5126,
+                          "count": 4, "type": "VEC3",
+                          "min": v.min(0).tolist(),
+                          "max": v.max(0).tolist()})
+        fi = add_blob(f.tobytes())
+        accessors.append({"bufferView": fi, "componentType": 5123,
+                          "count": 6, "type": "SCALAR"})
+        ui = add_blob(uv.tobytes())
+        accessors.append({"bufferView": ui, "componentType": 5126,
+                          "count": 4, "type": "VEC2"})
+        prims.append({"attributes": {"POSITION": 3 * i,
+                                     "TEXCOORD_0": 3 * i + 2},
+                      "indices": 3 * i + 1, "material": i})
+    img_views = [add_blob(png_bytes((255, 0, 0))),
+                 add_blob(png_bytes((0, 0, 255)))]
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": prims}],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}}},
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 1}}}],
+        "textures": [{"source": 0}, {"source": 1}],
+        "images": [{"bufferView": img_views[0], "mimeType": "image/png"},
+                   {"bufferView": img_views[1], "mimeType": "image/png"}],
+        "accessors": accessors,
+        "bufferViews": views,
+        "buffers": [{"byteLength": offset}],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    binc = b"".join(bin_parts)
+    glb = (struct.pack("<III", 0x46546C67, 2,
+                       12 + 8 + len(js) + 8 + len(binc))
+           + struct.pack("<II", len(js), 0x4E4F534A) + js
+           + struct.pack("<II", len(binc), 0x004E4942) + binc)
+    p = tmp_path / "two_mat.glb"
+    p.write_bytes(glb)
+
+    parts = Mesh.load_glb_parts(str(p))
+    assert len(parts) == 2
+    assert parts[0].albedo is not None and parts[1].albedo is not None
+    assert parts[0].albedo[0, 0, 0] > 0.9   # red
+    assert parts[1].albedo[0, 0, 2] > 0.9   # blue
+
+    from mvedit_tpu.apis import Adapter3DRunner
+    r = Adapter3DRunner(tiny_models=True, seed=0)
+    out = r.run_mesh_preproc(str(p))
+    mesh = out["mesh"]
+    assert mesh.albedo is not None and mesh.vt is not None
+    assert len(mesh.v) == 8 and len(mesh.f) == 4
+    # both materials present in the packed atlas
+    flat = mesh.albedo.reshape(-1, 3)
+    assert (flat[:, 0] > 0.9).any() and (flat[:, 2] > 0.9).any()
+
+
+def test_vc_to_texture_bake(tmp_path):
+    """Vertex-colored mesh without texture gets a baked albedo in
+    preproc (ref vc->texture, mesh_utils.py:1000-1010)."""
+    from mvedit_tpu.models.mesh import Mesh
+    from mvedit_tpu.apis import Adapter3DRunner
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vc = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32)
+    m = Mesh(v=v, f=f, vc=vc)
+    m.auto_normal()
+    p = str(tmp_path / "vc.glb")
+    m.write_glb(p)
+    r = Adapter3DRunner(tiny_models=True, seed=0)
+    out = r.run_mesh_preproc(p)
+    mesh = out["mesh"]
+    assert mesh.albedo is not None
+    assert np.isfinite(mesh.albedo).all()
+    assert mesh.albedo.max() > 0.5

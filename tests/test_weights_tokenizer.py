@@ -120,3 +120,106 @@ def test_lora_merge_changes_attention_only():
     assert float(jnp.abs(merged["ff"]["net_2"]["kernel"]).sum()) == 0
     # original untouched
     assert float(jnp.abs(params["attn"]["to_q"]["kernel"]).sum()) == 0
+
+
+def test_convert_tracer_key_mapping():
+    """TRACER converter: torch keys from the reference layout
+    (tracerb7/{efficientnet,tracer,att_modules,conv_modules}.py) land at
+    the right flax paths with the right layouts."""
+    import numpy as np
+    from mvedit_tpu.models.segmentors.tracer import convert_tracer
+    sd = {
+        "model.encoder._conv_stem.weight": np.zeros((64, 3, 3, 3)),
+        "encoder._bn0.weight": np.zeros((64,)),
+        "encoder._bn0.running_var": np.ones((64,)),
+        "encoder._blocks.3._depthwise_conv.weight": np.zeros((192, 1, 5, 5)),
+        "encoder._blocks.3._bn1.running_mean": np.zeros((192,)),
+        "encoder._blocks.3._se_reduce.weight": np.zeros((8, 192, 1, 1)),
+        "encoder._blocks.3._se_reduce.bias": np.zeros((8,)),
+        "encoder._blocks.3._project_conv.weight": np.zeros((48, 192, 1, 1)),
+        "encoder._blocks.3._bn2.num_batches_tracked": np.zeros(()),
+        "rfb2.branch1.2.conv.weight": np.zeros((32, 32, 3, 1)),
+        "rfb2.branch1.2.bn.running_mean": np.zeros((32,)),
+        "agg.UAM.norm.0.weight": np.zeros((224,)),
+        "agg.UAM.channel_q.weight": np.zeros((224, 224, 1, 1)),
+        "agg.conv_upsample1.conv.weight": np.zeros((64, 128, 3, 3)),
+        "ObjectAttention2.DWSConv.DWConv.weight": np.zeros((80, 1, 3, 3)),
+        "ObjectAttention2.DWSConv.bn.weight": np.zeros((80,)),
+        "ObjectAttention2.DWSConv.PWConv.weight": np.zeros((40, 80, 1, 1)),
+        "ObjectAttention2.DWSConv.bn2.weight": np.zeros((40,)),
+        "ObjectAttention2.DWConv1.0.DWConv.weight": np.zeros((40, 1, 1, 1)),
+        "ObjectAttention2.DWConv1.1.conv.weight": np.zeros((10, 40, 1, 1)),
+        "ObjectAttention2.conv1.conv.weight": np.zeros((1, 40, 1, 1)),
+    }
+    tree, unmatched = convert_tracer(sd)
+    assert unmatched == [], unmatched
+    p = tree["params"]
+    assert p["encoder"]["stem_conv"]["kernel"].shape == (3, 3, 3, 64)
+    assert p["encoder"]["stem_bn"]["scale"].shape == (64,)
+    assert p["encoder"]["stem_bn"]["var"].shape == (64,)
+    blk = p["encoder"]["blocks_3"]
+    assert blk["depthwise_conv"]["kernel"].shape == (5, 5, 1, 192)
+    assert blk["bn1"]["mean"].shape == (192,)
+    assert blk["se_reduce"]["kernel"].shape == (1, 1, 192, 8)
+    assert blk["se_reduce"]["bias"].shape == (8,)
+    assert blk["project_conv"]["kernel"].shape == (1, 1, 192, 48)
+    assert p["rfb2"]["branch1_2"]["conv"]["kernel"].shape == (3, 1, 32, 32)
+    assert p["rfb2"]["branch1_2"]["bn"]["mean"].shape == (32,)
+    assert p["agg"]["UAM"]["norm_bn"]["scale"].shape == (224,)
+    assert p["agg"]["UAM"]["channel_q"]["kernel"].shape == (1, 1, 224, 224)
+    oa = p["ObjectAttention2"]
+    assert oa["DWSConv"]["depthwise"]["kernel"].shape == (3, 3, 1, 80)
+    assert oa["DWSConv"]["bn1"]["scale"].shape == (80,)
+    assert oa["DWSConv"]["pointwise"]["kernel"].shape == (1, 1, 80, 40)
+    assert oa["DWSConv"]["bn2"]["scale"].shape == (40,)
+    assert oa["DWConv1_0"]["conv"]["kernel"].shape == (1, 1, 1, 40)
+    assert oa["DWConv1_1"]["conv"]["kernel"].shape == (1, 1, 40, 10)
+    assert oa["conv1"]["conv"]["kernel"].shape == (1, 1, 40, 1)
+
+
+def test_convert_ip_adapter_grafts_into_unet():
+    """IP-Adapter converter: synthetic HF state dict -> ip branches merged
+    into the UNet tree -> the UNet applies with ip mode (paths must line
+    up exactly or flax raises)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mvedit_tpu.testing import make_tiny_models, TINY_UNET
+    from mvedit_tpu.models.diffusion.weights import (convert_ip_adapter,
+                                                     merge_params,
+                                                     _attn2_paths)
+    from mvedit_tpu.models.diffusion import AttnMode
+
+    m = make_tiny_models(jax.random.PRNGKey(0))
+    paths = _attn2_paths(TINY_UNET)
+    inner = TINY_UNET.num_heads * \
+        ((TINY_UNET.block_out_channels[0] // TINY_UNET.num_heads))
+    # per-path inner dims vary with channel width; read from the tree
+    def inner_dim(path):
+        node = m.unet_params
+        for p in path:
+            node = node[p]
+        return node["to_q"]["kernel"].shape[1]
+
+    ctx_dim = TINY_UNET.cross_attention_dim
+    sd = {"image_proj.proj.weight":
+          np.zeros((ctx_dim * 4, 16), np.float32),
+          "image_proj.proj.bias": np.zeros((ctx_dim * 4,), np.float32),
+          "image_proj.norm.weight": np.ones((ctx_dim,), np.float32),
+          "image_proj.norm.bias": np.zeros((ctx_dim,), np.float32)}
+    for i, path in enumerate(paths):
+        d = inner_dim(path)
+        sd[f"ip_adapter.{2 * i + 1}.to_k_ip.weight"] = \
+            0.01 * np.ones((d, ctx_dim), np.float32)
+        sd[f"ip_adapter.{2 * i + 1}.to_v_ip.weight"] = \
+            0.01 * np.ones((d, ctx_dim), np.float32)
+    proj, patch, unmatched = convert_ip_adapter(sd, TINY_UNET)
+    assert unmatched == [], unmatched
+    merged = merge_params(m.unet_params, patch)
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 8, ctx_dim))
+    ip_ctx = jnp.zeros((2, 4, ctx_dim))
+    out = m.unet.apply({"params": merged}, x, t, ctx,
+                       mode=AttnMode(ip_tokens=4), ip_context=ip_ctx)
+    assert np.isfinite(np.asarray(out)).all()
