@@ -121,8 +121,10 @@ class EndpointsMixin:
             num_views=num_views,
             # view schedule 32 -> 16 -> 9 (mvedit_3d_pipeline.py:45-49),
             # clamped for small rigs / tiny tests
-            mid_num_views=min(16, num_views),
-            min_num_views=min(9, num_views),
+            mid_num_views=overrides.pop("mid_num_views",
+                                        min(16, num_views)),
+            min_num_views=overrides.pop("min_num_views",
+                                        min(9, num_views)),
             keep_first_views=keep_first_views,
             render_size=64 if tiny else 512,
             # tiny CI: skip the ramp's extra compiled programs (the ramp
@@ -146,35 +148,88 @@ class EndpointsMixin:
                                 grid_size=16 if tiny else 128),
             **overrides)
 
+    @staticmethod
+    def _join_prompts(prompt, aux):
+        """join_prompts analog (pipelines/utils.py join_prompts)."""
+        parts = [p for p in (prompt, aux) if p]
+        return ", ".join(parts)
+
+    def _parse_nerf_mesh(self, kwargs, task_overrides=None):
+        """Resolve the public nerf_mesh parameter schema: defaults <-
+        per-task overrides <- caller kwargs (webui/parameters.py:164-208
+        parse_3d_args). Every consumed knob maps onto MVEdit3DConfig."""
+        from . import parameters as P
+        nk = dict(P.nerf_mesh_defaults)
+        nk.update(task_overrides or {})
+        for k, v in kwargs.items():
+            if k in nk and v is not None:
+                nk[k] = v
+        return nk
+
+    def _cfg_from_schema(self, nk, num_views, keep_first_views=0,
+                         default_init_steps=None):
+        """nerf_mesh schema dict -> MVEdit3DConfig (no dead knobs)."""
+        tiny = self.tiny
+        return self._mvedit_cfg(
+            num_views,
+            nk["steps"] or (2 if tiny else 24),
+            nk["n_inverse_steps"] or (4 if tiny else 80),
+            nk["init_inverse_steps"] or default_init_steps
+            or (8 if tiny else 256),
+            keep_first_views=keep_first_views,
+            mode=nk["mvedit_mode"],
+            guidance_scale=float(nk["cfg_scale"]),
+            denoising_strength=float(nk["denoising_strength"]
+                                     if nk["denoising_strength"]
+                                     is not None else 1.0),
+            mid_num_views=min(16, num_views),
+            min_num_views=min(int(nk["min_num_views"]), num_views),
+            patch_bs=int(nk["patch_bs_nerf"]),
+            alpha_soften=float(nk["alpha_soften"]),
+            start_normal_reg_weight=float(nk["normal_reg_weight"]),
+            start_entropy_weight=float(nk["start_entropy_weight"]),
+            end_entropy_weight=float(nk["end_entropy_weight"]),
+            entropy_d=float(nk["entropy_d"]),
+            mesh_smoothness=float(nk["mesh_smoothness"]),
+            start_lr=float(nk["start_lr"]),
+            end_lr=float(nk["end_lr"]),
+            tet_init_inverse_steps=(2 if tiny
+                                    else int(nk["tet_init_inverse_steps"])),
+            **({"tet_resolution": int(nk["tet_resolution"])}
+               if nk["tet_resolution"] else {}))
+
     def run_3d_to_3d(self, mesh_path, prompt, negative_prompt="", seed=42,
                      steps=None, num_views=None, n_inverse_steps=None,
                      init_inverse_steps=None, instruct=False,
-                     out_path=None):
+                     out_path=None, **kwargs):
         """Mesh editing (adapter3d.py:954-1050): render init views ->
-        denoise<->reconstruct -> GLB."""
+        denoise<->reconstruct -> GLB. Extra kwargs follow the public
+        nerf_mesh parameter schema (apis/parameters.py)."""
         from ..pipelines import MVEdit3DPipeline
+        from . import parameters as P
         tiny = self.tiny
-        steps = steps or (2 if tiny else 24)
         num_views = num_views or (3 if tiny else 32)
-        n_inverse_steps = n_inverse_steps or (4 if tiny else 80)
-        init_inverse_steps = init_inverse_steps or (8 if tiny else 256)
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets(
             ("tile", "depth", "ip2p") if instruct else ("tile", "depth"))
         m.segment_fn = None
         m.lpips_params = self.load_lpips()
+        m.enhance_fn = None if self.tiny else self.load_image_enhancer()
         pre = self.run_mesh_preproc(mesh_path)
         mesh = pre["mesh"]
         c = self.constants
         # instruct mode runs 1-pass with cfg 5.0 and the ip2p net
         # conditioned on the source renders (webui/parameters.py:136-148,
         # adapter3d.py:965-969)
-        cfg = self._mvedit_cfg(
-            num_views, steps, n_inverse_steps, init_inverse_steps,
-            mode="1-pass" if instruct else "2-pass",
-            guidance_scale=5.0 if instruct else 7.0,
-            entropy_d=0.02 if instruct else 0.015,
-            start_lr=0.0075)
+        nk = self._parse_nerf_mesh(
+            dict(kwargs, steps=steps, n_inverse_steps=n_inverse_steps,
+                 init_inverse_steps=init_inverse_steps),
+            P.instruct_3d_to_3d_params if instruct
+            else P.text_3d_to_3d_params)
+        prompt = self._join_prompts(prompt, nk["aux_prompt"])
+        negative_prompt = self._join_prompts(negative_prompt,
+                                             nk["aux_negative_prompt"])
+        cfg = self._cfg_from_schema(nk, num_views)
         rng = np.random.default_rng(seed)
         poses, intr = C.surround_rig(
             num_views, c["proc_3d_to_3d_camera_distance"],
@@ -324,15 +379,14 @@ class EndpointsMixin:
         m.controlnets, m.cn_params = self.load_controlnets()
         m.segment_fn = None
         m.lpips_params = self.load_lpips()
-        steps = kwargs.get("steps", 2 if tiny else 24)
-        cfg = self._mvedit_cfg(num_views, steps,
-                               kwargs.get("n_inverse_steps",
-                                          4 if tiny else 80),
-                               kwargs.get("init_inverse_steps",
-                                          8 if tiny else 640),
-                               # the input view (index 0) is never pruned
-                               # (keep_views, adapter3d.py:824)
-                               keep_first_views=1)
+        m.enhance_fn = None if self.tiny else self.load_image_enhancer()
+        nk = self._parse_nerf_mesh(kwargs)
+        # the input view (index 0) is never pruned (keep_views,
+        # adapter3d.py:824); v1.1 runs 640 init inverse steps, v1.2 720
+        cfg = self._cfg_from_schema(
+            nk, num_views, keep_first_views=1,
+            default_init_steps=(8 if tiny
+                                else (640 if version == "1.1" else 720)))
         size = cfg.render_size
         import jax.image as jimage
 
@@ -379,10 +433,12 @@ class EndpointsMixin:
             targets["normals"] = normals
             targets["normal_weights"] = jnp.asarray(
                 [1.0] + [0.0] * (num_views - 1))
-        prompt = kwargs.get("prompt", "")
+        prompt = self._join_prompts(kwargs.get("prompt", ""),
+                                    nk["aux_prompt"])
+        negp = self._join_prompts(kwargs.get("negative_prompt", ""),
+                                  nk["aux_negative_prompt"])
         pos, neg = self.encode_prompt(
-            m, [prompt] * num_views,
-            [kwargs.get("negative_prompt", "")] * num_views)
+            m, [prompt] * num_views, [negp] * num_views)
         if kwargs.get("use_ip_adapter", True):
             # image-prompt the denoiser on the input image
             # (ref get_prompt_embeds with ip_adapter, adapter3d.py:306-336)
@@ -408,6 +464,7 @@ class EndpointsMixin:
         m = self.load_stable_diffusion()
         m.controlnets, m.cn_params = self.load_controlnets()
         m.lpips_params = self.load_lpips()
+        m.enhance_fn = None if self.tiny else self.load_image_enhancer()
         pre = self.run_mesh_preproc(mesh_path)
         mesh = pre["mesh"]
         c = self.constants

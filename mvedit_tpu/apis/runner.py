@@ -155,6 +155,31 @@ class Adapter3DRunner(EndpointsMixin):
             params.append(p)
         return tuple(nets), params
 
+    def load_image_enhancer(self):
+        """SRVGG x4 enhancer as a pipeline `enhance_fn(images, size)` hook
+        (ref upsamples <512 renders before ControlNet tile,
+        mvedit_3d_pipeline.py:213,273,1400)."""
+        if "enhance_fn" in self._cache:
+            return self._cache["enhance_fn"]
+        from ..models.image_enhancer import SRVGGNetCompact, convert_srvgg
+        net = SRVGGNetCompact(num_feat=8 if self.tiny else 64,
+                              num_conv=2 if self.tiny else 32)
+        params = self._load_params(
+            "srvgg", lambda: net.init(jax.random.PRNGKey(self.seed),
+                                      jnp.zeros((1, 16, 16, 3)))["params"],
+            lambda sd: (convert_srvgg(sd), []), subdir="image_enhancer")
+        apply_fn = jax.jit(lambda p, x: net.apply({"params": p}, x))
+
+        def enhance_fn(images, size):
+            up = apply_fn(params, jnp.clip(images, 0.0, 1.0))
+            if up.shape[1] != size:
+                up = jax.image.resize(
+                    up, (up.shape[0], size, size, 3), "bilinear")
+            return jnp.clip(up, 0.0, 1.0)
+
+        self._cache["enhance_fn"] = enhance_fn
+        return enhance_fn
+
     def enable_ip_adapter(self, m, image, num_tokens=4):
         """Image-prompt conditioning (ref IP-Adapter,
         lib/models/architecture/ip_adapter/ip_adapter.py:32-171 +
@@ -265,7 +290,8 @@ class Adapter3DRunner(EndpointsMixin):
         from ..models.segmentors.dpt import DPTNormalModel
         if "dpt" not in self._cache:
             if self.tiny:
-                net = DPTNormalModel(vit_layers=2, readout_taps=(0, 1))
+                net = DPTNormalModel(vit_layers=2, readout_taps=(0, 1),
+                                     resnet_layers=(1, 1, 1))
                 s = 32
             else:
                 net = DPTNormalModel()

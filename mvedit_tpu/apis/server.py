@@ -31,7 +31,20 @@ class ApiServer:
         self.endpoints = {
             "image_segmentation": self._image_segmentation,
             "3d_preproc": self._mesh_preproc,
+            "text_to_img": self._text_to_img,
+            "text_to_3d_stablessdnerf": self._stablessdnerf,
+            "text_to_3d_stablessdnerf_to_mesh": self._stablessdnerf_to_mesh,
+            "img_to_3d_1_1_zero123plus": self._zero123plus("1.1"),
+            "img_to_3d_1_2_zero123plus": self._zero123plus("1.2"),
+            "img_to_3d_1_1_zero123plus_to_mesh":
+                self._zero123plus_to_mesh("1.1"),
+            "img_to_3d_1_2_zero123plus_to_mesh":
+                self._zero123plus_to_mesh("1.2"),
+            "3d_to_3d_mvedit": self._3d_to_3d(False),
+            "3d_to_3d_mvedit_instruct": self._3d_to_3d(True),
             "retex_mvedit": self._retex,
+            "retex_mvedit_instruct": self._retex,
+            "texture_superres": self._texture_superres,
             "mesh_to_video": self._mesh_to_video,
             "health": lambda body: {"status": "ok"},
         }
@@ -78,6 +91,77 @@ class ApiServer:
                 steps=body.get("steps", 12),
                 out_path=fout.name)
             fout.seek(0)
+            data = open(fout.name, "rb").read()
+        return {"mesh": base64.b64encode(data).decode()}
+
+    def _text_to_img(self, body):
+        img = self.runner.run_text_to_img(
+            body.get("prompt", ""), body.get("negative_prompt", ""),
+            seed=body.get("seed", 42), steps=body.get("steps", 24),
+            cfg_scale=body.get("cfg_scale", 7.0),
+            width=body.get("width"), height=body.get("height"))
+        return {"image": self._encode_image(img)}
+
+    def _stablessdnerf(self, body):
+        out = self.runner.run_stablessdnerf(
+            body.get("prompt", ""), seed=body.get("seed", 42),
+            cfg_scale=body.get("cfg_scale", 7.0))
+        return {"preview": self._encode_image(out["preview"])}
+
+    def _stablessdnerf_to_mesh(self, body):
+        with tempfile.NamedTemporaryFile(suffix=".glb") as fout:
+            self.runner.run_stablessdnerf_to_mesh(
+                body.get("prompt", ""), seed=body.get("seed", 42),
+                out_path=fout.name)
+            data = open(fout.name, "rb").read()
+        return {"mesh": base64.b64encode(data).decode()}
+
+    def _zero123plus(self, version):
+        def fn(body):
+            grid = self.runner.run_zero123plus(
+                self._decode_image(body["image"]),
+                seed=body.get("seed", 42), version=version)
+            return {"views": self._encode_image(np.asarray(grid))}
+        return fn
+
+    def _zero123plus_to_mesh(self, version):
+        def fn(body):
+            with tempfile.NamedTemporaryFile(suffix=".glb") as fout:
+                self.runner.run_zero123plus_to_mesh(
+                    self._decode_image(body["image"]),
+                    seed=body.get("seed", 42), version=version,
+                    prompt=body.get("prompt", ""),
+                    negative_prompt=body.get("negative_prompt", ""),
+                    out_path=fout.name)
+                data = open(fout.name, "rb").read()
+            return {"mesh": base64.b64encode(data).decode()}
+        return fn
+
+    def _3d_to_3d(self, instruct):
+        def fn(body):
+            with tempfile.NamedTemporaryFile(suffix=".glb") as fin, \
+                    tempfile.NamedTemporaryFile(suffix=".glb") as fout:
+                fin.write(base64.b64decode(body["mesh"]))
+                fin.flush()
+                self.runner.run_3d_to_3d(
+                    fin.name, body.get("prompt", ""),
+                    body.get("negative_prompt", ""),
+                    seed=body.get("seed", 42),
+                    steps=body.get("steps"), instruct=instruct,
+                    out_path=fout.name)
+                data = open(fout.name, "rb").read()
+            return {"mesh": base64.b64encode(data).decode()}
+        return fn
+
+    def _texture_superres(self, body):
+        with tempfile.NamedTemporaryFile(suffix=".glb") as fin, \
+                tempfile.NamedTemporaryFile(suffix=".glb") as fout:
+            fin.write(base64.b64decode(body["mesh"]))
+            fin.flush()
+            self.runner.run_texture_superres(
+                fin.name, body.get("prompt", ""),
+                body.get("negative_prompt", ""),
+                seed=body.get("seed", 42), out_path=fout.name)
             data = open(fout.name, "rb").read()
         return {"mesh": base64.b64encode(data).decode()}
 

@@ -64,11 +64,18 @@ def training_loss(schedule, denoise_fn, x0, t, noise, cond=None,
 
 def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
                       solver="dpmsolver", cond=None, uncond=None,
-                      guidance_scale=1.0, use_karras=False):
+                      guidance_scale=1.0, use_karras=False,
+                      grad_guide_fn=None, guide_gain=1.0):
     """Full sampling loop (jit the caller; the loop is a lax.scan over a
     static timestep table). denoise_fn(x, t_vec, cond) -> model out.
 
     CFG runs the denoiser on a doubled batch when uncond is given.
+    grad_guide_fn(x0_pred) -> scalar loss enables gradient guidance
+    (`GaussianDiffusion.pred_x_0` grad guidance,
+    lib/models/diffusions/gaussian_diffusion.py:192-262 /
+    DiffusionNeRF.val_guide diffusion_nerf.py:240-315): at every step the
+    x0 estimate takes a gradient-descent correction of the guide loss
+    before re-deriving the model output.
     """
     if use_karras:
         _, ts = S.karras_sigmas(schedule, num_steps)
@@ -97,6 +104,21 @@ def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
         x, state = carry
         t, tp = inp
         out = model_out(x, t)
+        if grad_guide_fn is not None:
+            # x0-space gradient guidance: descend the guide loss on the
+            # x0 estimate, then re-derive the model output
+            sa, sn = schedule.sqrt_acp(t)
+            if schedule.prediction_type == "v_prediction":
+                x0 = sa * x - sn * out
+            else:
+                x0 = (x - sn * out) / sa
+            g = jax.grad(lambda z: grad_guide_fn(z))(x0)
+            x0 = x0 - guide_gain * g
+            if schedule.prediction_type == "v_prediction":
+                eps = (x - sa * x0) / jnp.clip(sn, 1e-8, None)
+                out = sa * eps - sn * x0
+            else:
+                out = (x - sa * x0) / jnp.clip(sn, 1e-8, None)
         if solver == "ddim":
             x = S.ddim_step(schedule, x, out, t, tp)
         else:

@@ -165,8 +165,11 @@ def marching_tets(grid, sdf, deform=None):
     denom = s_a - s_b
     denom = jnp.where(jnp.abs(denom) < 1e-10,
                       jnp.where(denom >= 0, 1e-10, -1e-10), denom)
-    w_a = -s_b / denom   # weight on vertex a
-    w_b = s_a / denom
+    # true crossings have weight in [0, 1]; clamping keeps the junk verts
+    # of non-crossing (masked) edges inside the tet bbox instead of at
+    # +-1e10, which would blow up downstream field MLPs into NaN
+    w_a = jnp.clip(-s_b / denom, 0.0, 1.0)   # weight on vertex a
+    w_b = 1.0 - w_a
     pos_t = pos.T                               # (3, V)
     verts_t = pos_t[:, ue0] * w_a[None] + pos_t[:, ue1] * w_b[None]
     verts = verts_t.T                           # (E, 3) packed output

@@ -94,6 +94,10 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
                 jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12, None)
             rgb = shading_fun(xyz, nrm, view_dir)
             a = rast["alpha"][..., None]
+            # degenerate extractions (empty tet surface) leave NaN verts ->
+            # NaN xyz -> NaN shading; NaN * 0 alpha still poisons the
+            # composite, so select instead of multiplying
+            rgb = jnp.where(a > 0, rgb, 0.0)
             out["rgb"] = rgb * a + bg_color * (1 - a)
         return out
 
@@ -136,7 +140,8 @@ def bake_texture(verts, faces, face_mask, uvs, uv_faces, field_fn,
            + verts[f_world[..., 1]] * u + verts[f_world[..., 2]] * v)
     rgb = field_fn(xyz)
     mask = (rast["tri_id"] >= 0).astype(jnp.float32)
-    return rgb * mask[..., None], mask
+    rgb = jnp.where(mask[..., None] > 0, rgb, 0.0)  # NaN * 0 guard
+    return rgb, mask
 
 
 @partial(jax.jit, static_argnames=("cfg", "atlas_cfg"))

@@ -21,48 +21,72 @@ from .efficientnet import BN
 __all__ = ["DPTNormalModel"]
 
 
-class Bottleneck(nn.Module):
+class StdConv(nn.Module):
+    features: int
+    kernel: int
+    strides: int = 1
+    padding: object = 0
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, x.shape[-1],
+                        self.features))
+        mu = jnp.mean(k, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(k, axis=(0, 1, 2), keepdims=True)
+        k = (k - mu) / jnp.sqrt(var + 1e-8)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return jax.lax.conv_general_dilated(
+            x, k, (self.strides, self.strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PreActBottleneck(nn.Module):
+    """timm ResNetV2 PreActBottleneck (GroupNorm32 + StdConv), the
+    vitb_rn50_384 hybrid stage block."""
     mid: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
         out_c = self.mid * 4
-        h = nn.Conv(self.mid, (1, 1), use_bias=False, name="conv1")(x)
-        h = jax.nn.relu(BN(name="bn1")(h))
-        h = nn.Conv(self.mid, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, name="conv2")(h)
-        h = jax.nn.relu(BN(name="bn2")(h))
-        h = nn.Conv(out_c, (1, 1), use_bias=False, name="conv3")(h)
-        h = BN(name="bn3")(h)
+        xp = jax.nn.relu(nn.GroupNorm(32, name="norm1")(x))
         if x.shape[-1] != out_c or self.stride != 1:
-            x = nn.Conv(out_c, (1, 1), strides=(self.stride, self.stride),
-                        use_bias=False, name="downsample_conv")(x)
-            x = BN(name="downsample_bn")(x)
-        return jax.nn.relu(x + h)
+            sc = StdConv(out_c, 1, self.stride, name="downsample_conv")(xp)
+        else:
+            sc = x
+        h = StdConv(self.mid, 1, name="conv1")(xp)
+        h = jax.nn.relu(nn.GroupNorm(32, name="norm2")(h))
+        h = StdConv(self.mid, 3, self.stride, padding=1, name="conv2")(h)
+        h = jax.nn.relu(nn.GroupNorm(32, name="norm3")(h))
+        h = StdConv(out_c, 1, name="conv3")(h)
+        return sc + h
 
 
 class ResNetStages(nn.Module):
-    """ResNet50 stem + layer1 (/4, 256ch) + layer2 (/8, 512ch)."""
+    """ResNetV2 stem + stages (3, 4, 9) of the vitb_rn50_384 hybrid:
+    /4 256ch, /8 512ch, /16 1024ch (the DPT-hybrid taps the first two and
+    feeds the third to the ViT)."""
+    layers: tuple = (3, 4, 9)
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name="conv1")(x)
-        h = jax.nn.relu(BN(name="bn1")(h))
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        h = StdConv(64, 7, 2, padding=3, name="stem_conv")(x)
+        h = jax.nn.relu(nn.GroupNorm(32, name="stem_norm")(h))
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                                   (1, 2, 2, 1), "VALID")
-        for i in range(3):
-            h = Bottleneck(64, 1, name=f"layer1_{i}")(h)
-        f1 = h                       # /4, 256
-        for i in range(4):
-            h = Bottleneck(128, 2 if i == 0 else 1, name=f"layer2_{i}")(h)
-        f2 = h                       # /8, 512
-        for i in range(6):
-            h = Bottleneck(256, 2 if i == 0 else 1, name=f"layer3_{i}")(h)
-        f3 = h                       # /16, 1024 -> ViT input
-        return f1, f2, f3
+        feats = []
+        for si, (n, mid) in enumerate(zip(self.layers, (64, 128, 256))):
+            for i in range(n):
+                h = PreActBottleneck(
+                    mid, 2 if (i == 0 and si > 0) else 1,
+                    name=f"stage{si + 1}_{i}")(h)
+            feats.append(h)
+        return tuple(feats)  # (/4 256, /8 512, /16 1024)
 
 
 class ViTBlock(nn.Module):
@@ -121,11 +145,12 @@ class DPTNormalModel(nn.Module):
     vit_layers: int = 12
     features: int = 256
     readout_taps: Sequence[int] = (8, 11)  # ViT layers tapped (hybrid)
+    resnet_layers: tuple = (3, 4, 9)       # vitb_rn50_384 stage depths
 
     @nn.compact
     def __call__(self, x):
         B, H, W, _ = x.shape
-        f1, f2, f3 = ResNetStages(name="resnet")(x)
+        f1, f2, f3 = ResNetStages(self.resnet_layers, name="resnet")(x)
         hp, wp = f3.shape[1], f3.shape[2]
         tokens = nn.Conv(self.vit_dim, (1, 1), name="patch_embed")(f3)
         tokens = tokens.reshape(B, hp * wp, self.vit_dim)

@@ -189,3 +189,88 @@ def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
         return state, metrics
 
     return step
+
+
+def make_render_loss(decoder_cfg: TriPlaneConfig, cfg: SSDNeRFConfig):
+    """Per-scene ray render loss over activated triplane codes (shared by
+    the train step and the val_guide/val_optim refinement paths)."""
+    def render_loss(decoder_params, codes_act, batch):
+        def one_scene(code, ro, rd, rgb):
+            def decode(x):
+                s, c = triplane_point_decode(
+                    decoder_params, code, x.reshape(-1, 3),
+                    None, decoder_cfg, density_only=False)
+                return (s.reshape(x.shape[:-1]),
+                        c.reshape(*x.shape[:-1], 3))
+            out = render_rays(decode, ro, rd, cfg.render, bg_color=1.0)
+            return jnp.mean(jnp.abs(out["rgb"] - rgb))
+
+        losses = jax.vmap(one_scene)(codes_act, batch["rays_o"],
+                                     batch["rays_d"], batch["rgb"])
+        return jnp.mean(losses)
+    return render_loss
+
+
+def make_val_guide(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
+                   cfg: SSDNeRFConfig, schedule: S.NoiseSchedule,
+                   guide_gain=0.5):
+    """Guided sampling (DiffusionNeRF.val_guide,
+    lib/models/autoencoders/diffusion_nerf.py:240-315): every denoise
+    step's x0 estimate takes a render-loss gradient against the cond
+    views before the solver update."""
+    @partial(jax.jit, static_argnames=("num_steps",))
+    def val_guide(dparams, decoder_params, cond_batch, key, num_steps=50):
+        render_loss = make_render_loss(decoder_cfg, cfg)
+
+        def guide_loss(code_latent):
+            return render_loss(decoder_params, tanh_code(code_latent),
+                               cond_batch)
+
+        B = cond_batch["rays_o"].shape[0]
+        code = GD.sample_from_noise(
+            schedule, lambda x, t, c: denoise_apply(dparams, x, t, c),
+            (B, *cfg.latent_shape), key, num_steps=num_steps,
+            grad_guide_fn=guide_loss, guide_gain=guide_gain)
+        return code
+    return val_guide
+
+
+def make_val_optim(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
+                   cfg: SSDNeRFConfig, schedule: S.NoiseSchedule,
+                   n_steps=100, prior_weight=0.0):
+    """Post-sampling per-scene code refinement (DiffusionNeRF.val_optim,
+    diffusion_nerf.py:317-411): Adam on the raw code against the cond
+    views, optionally mixing the diffusion v-pred prior gradient."""
+    @partial(jax.jit, donate_argnums=(1,))
+    def val_optim(dparams, code, decoder_params, cond_batch, key):
+        render_loss = make_render_loss(decoder_cfg, cfg)
+        m = jnp.zeros_like(code)
+        v = jnp.zeros_like(code)
+        steps0 = jnp.zeros((code.shape[0],), jnp.int32)
+
+        def body(carry, k):
+            code, m, v, steps = carry
+
+            def loss_fn(c):
+                loss = render_loss(decoder_params, tanh_code(c), cond_batch)
+                if prior_weight > 0:
+                    k1, k2 = jax.random.split(k)
+                    t = jax.random.randint(
+                        k1, (c.shape[0],), 0, schedule.num_train_timesteps)
+                    noise = jax.random.normal(k2, c.shape)
+                    loss = loss + prior_weight * GD.training_loss(
+                        schedule,
+                        lambda x, tt, cc: denoise_apply(dparams, x, tt, cc),
+                        c, t, noise, cfg=cfg.diffusion)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(code)
+            code, m, v, steps = _code_adam(code, grads, m, v, steps,
+                                           cfg.code_lr)
+            return (code, m, v, steps), loss
+
+        keys = jax.random.split(key, n_steps)
+        (code, _, _, _), losses = jax.lax.scan(
+            body, (code, m, v, steps0), keys)
+        return code, losses
+    return val_optim

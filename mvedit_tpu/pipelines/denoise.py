@@ -34,12 +34,26 @@ __all__ = ["DenoiseModels", "make_noise_pred_1pass", "make_noise_pred_2pass"]
 
 @dataclass(frozen=True)
 class DenoiseModels:
-    """Static bundle: module defs (not params) + attention options."""
+    """Static bundle: module defs (not params) + attention options.
+
+    use_reference=True reproduces the reference's default conditioning
+    (`mvedit_3d_pipeline.py:892,1226-1232`): the UNCOND pass runs
+    per-view (no cross-image attention at all — the reference only ever
+    sets num_cross_attn_imgs on the cond pass), and the COND pass pairs
+    each view's noisy REFERENCE latent with its target latent
+    (adapter3d_mixin.py:86-127 latent_shape[2]==2*latent_shape[3]
+    reshape trick) so they jointly self-attend (k=2). This is also ~2.4x
+    cheaper than all-view joint attention at 6 views.
+
+    num_views>1 without use_reference gives all-view joint attention —
+    kept as an opt-in extension beyond the reference.
+    """
     unet: object
     controlnets: Tuple[object, ...]   # (tile, depth[, extra...]) modules
     num_views: int = 6
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    use_reference: bool = False
 
     def attn_mode(self, num_views=None):
         return AttnMode(num_views=num_views or self.num_views,
@@ -49,6 +63,29 @@ class DenoiseModels:
 def _cfg_combine(noise_pred, guidance_scale):
     uncond, cond = jnp.split(noise_pred, 2, axis=0)
     return guidance_scale * cond + (1.0 - guidance_scale) * uncond
+
+
+def _pair(ref, tgt):
+    """Interleave [ref_i, tgt_i] pairs: (N,h,w,C) x2 -> (2N,h,w,C)."""
+    N = tgt.shape[0]
+    return jnp.stack([ref, tgt], axis=1).reshape(2 * N, *tgt.shape[1:])
+
+
+def _unpair_target(x):
+    """(2N, ...) interleaved pairs -> the target halves (N, ...)."""
+    return x.reshape(x.shape[0] // 2, 2, *x.shape[1:])[:, 1]
+
+
+def _pad_pair_residuals(downs, mid):
+    """Zero-pad ControlNet residuals for the reference half of each pair
+    (adapter3d_mixin.py:186-192)."""
+    def pad(r):
+        z = jnp.zeros_like(r)
+        return jnp.stack([z, r], axis=1).reshape(2 * r.shape[0],
+                                                 *r.shape[1:])
+    if downs is None:
+        return None, None
+    return [pad(r) for r in downs], pad(mid)
 
 
 def make_noise_pred_1pass(models: DenoiseModels):
@@ -61,16 +98,40 @@ def make_noise_pred_1pass(models: DenoiseModels):
     """
     @jax.jit
     def noise_pred(unet_params, cn_params, latents, t, embeds, cond_images,
-                   cn_scales, guidance_scale, ip_context=None):
-        mode = models.attn_mode()
+                   cn_scales, guidance_scale, ip_context=None,
+                   ref_noisy=None):
         n = len(models.controlnets)
         downs, mid = apply_multi_controlnet(
             models.controlnets, cn_params[:n], latents, t, embeds,
             list(cond_images)[:n], list(cn_scales)[:n], mode=AttnMode(),
             ip_context=None)
+        if models.use_reference and ref_noisy is not None:
+            # latents here are the (2N,) CFG target batch; the cond half
+            # runs as [ref, target] pairs (get_noise_pred :86-127)
+            N = latents.shape[0] // 2
+            eps_u = models.unet.apply(
+                {"params": unet_params}, latents[:N], t[:N], embeds[:N],
+                mode=AttnMode(ip_tokens=models.ip_tokens,
+                              ip_scale=models.ip_scale),
+                ip_context=None if ip_context is None else ip_context[:N],
+                down_block_res=[r[:N] for r in downs],
+                mid_block_res=mid[:N])
+            pair_lat = _pair(ref_noisy, latents[N:])
+            pd, pm = _pad_pair_residuals([r[N:] for r in downs], mid[N:])
+            ip2 = None if ip_context is None \
+                else jnp.repeat(ip_context[N:], 2, axis=0)
+            eps_pairs = models.unet.apply(
+                {"params": unet_params}, pair_lat,
+                jnp.repeat(t[N:], 2, 0), jnp.repeat(embeds[N:], 2, 0),
+                mode=AttnMode(num_views=2, ip_tokens=models.ip_tokens,
+                              ip_scale=models.ip_scale),
+                ip_context=ip2, down_block_res=pd, mid_block_res=pm)
+            eps_c = _unpair_target(eps_pairs)
+            return guidance_scale * eps_c + (1 - guidance_scale) * eps_u
         eps = models.unet.apply(
-            {"params": unet_params}, latents, t, embeds, mode=mode,
-            ip_context=ip_context, down_block_res=downs, mid_block_res=mid)
+            {"params": unet_params}, latents, t, embeds,
+            mode=models.attn_mode(), ip_context=ip_context,
+            down_block_res=downs, mid_block_res=mid)
         return _cfg_combine(eps, guidance_scale)
 
     return noise_pred
@@ -90,9 +151,55 @@ def make_noise_pred_2pass(models: DenoiseModels):
        -> eps_guided — decoder re-run with tile(+depth) residuals ADDED to
        the p1 residuals (adapter3d_mixin.py:281-299).
     """
+    def _ref_split_run(unet_params, latents, t, embeds, downs, mid,
+                       ref_noisy, guidance_scale, ip_context,
+                       enc_state=None):
+        """Run uncond (per-view) + cond ([ref, target] pairs) decoders,
+        CFG-combine. Returns (eps, (enc_u, enc_c)) — enc states reused by
+        p2 when enc_state is None (p1) or consumed (p2)."""
+        N = latents.shape[0] // 2
+        amode_u = AttnMode(ip_tokens=models.ip_tokens,
+                           ip_scale=models.ip_scale)
+        amode_c = AttnMode(num_views=2, ip_tokens=models.ip_tokens,
+                           ip_scale=models.ip_scale)
+        ip_u = None if ip_context is None else ip_context[:N]
+        ip_c = None if ip_context is None \
+            else jnp.repeat(ip_context[N:], 2, axis=0)
+        pair_lat = _pair(ref_noisy, latents[N:])
+        t_u, e_u = t[:N], embeds[:N]
+        t_c = jnp.repeat(t[N:], 2, 0)
+        e_c = jnp.repeat(embeds[N:], 2, 0)
+        downs_u = None if downs is None else [r[:N] for r in downs]
+        mid_u = None if mid is None else mid[:N]
+        if downs is None:
+            downs_c = mid_c = None
+        else:
+            downs_c, mid_c = _pad_pair_residuals(
+                [r[N:] for r in downs], mid[N:])
+        if enc_state is None:
+            enc_u = models.unet.apply(
+                {"params": unet_params}, latents[:N], t_u, e_u,
+                part="enc", mode=amode_u, ip_context=ip_u)
+            enc_c = models.unet.apply(
+                {"params": unet_params}, pair_lat, t_c, e_c,
+                part="enc", mode=amode_c, ip_context=ip_c)
+        else:
+            enc_u, enc_c = enc_state
+        eps_u = models.unet.apply(
+            {"params": unet_params}, latents[:N], t_u, e_u,
+            part="dec", enc_state=enc_u, mode=amode_u, ip_context=ip_u,
+            down_block_res=downs_u, mid_block_res=mid_u)
+        eps_pairs = models.unet.apply(
+            {"params": unet_params}, pair_lat, t_c, e_c,
+            part="dec", enc_state=enc_c, mode=amode_c, ip_context=ip_c,
+            down_block_res=downs_c, mid_block_res=mid_c)
+        eps_c = _unpair_target(eps_pairs)
+        eps = guidance_scale * eps_c + (1 - guidance_scale) * eps_u
+        return eps, (enc_u, enc_c)
+
     def p1(unet_params, cn_params, latents, t, embeds, depth_images,
            depth_scale, guidance_scale, ip_context=None,
-           extra_images=(), extra_scales=()):
+           extra_images=(), extra_scales=(), ref_noisy=None):
         mode = models.attn_mode()
         use_depth = depth_images is not None and len(models.controlnets) > 1
         nets, params, conds, scales = [], [], [], []
@@ -115,6 +222,11 @@ def make_noise_pred_2pass(models: DenoiseModels):
                 mode=AttnMode())
         else:
             downs, mid = None, None
+        if models.use_reference and ref_noisy is not None:
+            eps, enc = _ref_split_run(unet_params, latents, t, embeds,
+                                      downs, mid, ref_noisy,
+                                      guidance_scale, ip_context)
+            return eps, enc, (downs, mid)
         enc = models.unet.apply({"params": unet_params}, latents, t, embeds,
                                 part="enc", mode=mode, ip_context=ip_context)
         eps = models.unet.apply({"params": unet_params}, latents, t, embeds,
@@ -125,7 +237,7 @@ def make_noise_pred_2pass(models: DenoiseModels):
 
     def p2(unet_params, cn_params, latents, enc_state, p1_residuals, t,
            embeds, tile_images, depth_images, tile_scale, depth_scale,
-           guidance_scale, ip_context=None):
+           guidance_scale, ip_context=None, ref_noisy=None):
         mode = models.attn_mode()
         nets = models.controlnets[:2] if depth_images is not None \
             else models.controlnets[:1]
@@ -140,6 +252,11 @@ def make_noise_pred_2pass(models: DenoiseModels):
         if p1_downs is not None:
             downs = [a + b for a, b in zip(downs, p1_downs)]
             mid = mid + p1_mid
+        if models.use_reference and ref_noisy is not None:
+            eps, _ = _ref_split_run(unet_params, latents, t, embeds,
+                                    downs, mid, ref_noisy, guidance_scale,
+                                    ip_context, enc_state=enc_state)
+            return eps
         eps = models.unet.apply({"params": unet_params}, latents, t, embeds,
                                 part="dec", enc_state=enc_state, mode=mode,
                                 ip_context=ip_context,

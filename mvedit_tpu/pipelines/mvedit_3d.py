@@ -169,6 +169,8 @@ class MVEdit3DConfig:
     start_normal_reg_weight: float = 4.0
     end_normal_reg_weight: float = 0.0
     mesh_normal_reg_weight: float = 5.0
+    mesh_smoothness: float = 1.0     # scales laplacian + NC regularizers
+                                     # (ref mesh_optim lapsmth weights)
     alpha_soften: float = 0.02
     use_lpips: bool = False          # patch LPIPS losses (needs
                                      # models.lpips_params)
@@ -178,6 +180,10 @@ class MVEdit3DConfig:
     ingp: INGPConfig = field(default_factory=INGPConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
     mode: str = "2-pass"             # '1-pass' (instruct) | '2-pass'
+    # reference conditioning (mvedit_3d_pipeline.py:892 use_reference,
+    # default True): the cond pass pairs each view with its fixed
+    # reference latent; OFF -> all-view joint attention (our extension)
+    use_reference: bool = True
 
     def view_buckets(self):
         """Static view-buffer sizes the pipeline compiles for, descending."""
@@ -282,6 +288,7 @@ class MVEdit3DPipeline:
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
                            num_views=num_views,
+                           use_reference=self.cfg.use_reference,
                            ip_tokens=0 if ip_ctx is None
                            else int(ip_ctx.shape[1]))
         if self.cfg.mode == "1-pass":
@@ -317,6 +324,8 @@ class MVEdit3DPipeline:
                 raster=self._mesh_raster_cfg(cfg.render_size),
                 n_steps=n_steps,
                 normal_reg_weight=cfg.mesh_normal_reg_weight,
+                laplacian_weight=0.25 * cfg.mesh_smoothness,
+                normal_consistency_weight=0.25 * cfg.mesh_smoothness,
                 patch_size=min(cfg.patch_size, cfg.render_size))
             self._fit_cache[key] = MF.make_mesh_fit(
                 tet_grid, self._color_fn, mcfg)
@@ -432,17 +441,30 @@ class MVEdit3DPipeline:
         n_keep = int(len(timesteps) * (1 - cfg.denoising_strength))
         timesteps = timesteps[n_keep:]
 
-        key, k1 = jax.random.split(key)
+        key, k1, k2 = jax.random.split(key, 3)
         if init_latents is None:
             lat0 = vae_enc(m.vae_params,
                            self._shard_batch(tgt["images"] * 2.0 - 1.0))
         else:
             lat0 = init_latents
-        noise = jax.random.normal(k1, lat0.shape)
-        latents = self._shard_batch(S.add_noise(
-            sch, lat0, noise,
-            jnp.full((lat0.shape[0],), int(timesteps[0]))))
+        # noise shared across views (reference convention:
+        # randn_like(latents[0]).expand, mvedit_3d_pipeline.py:1467-1480)
+        noise = jnp.broadcast_to(
+            jax.random.normal(k1, lat0.shape[1:]), lat0.shape)
+        t0_vec = jnp.full((lat0.shape[0],), int(timesteps[0]))
+        latents = self._shard_batch(S.add_noise(sch, lat0, noise, t0_vec))
         solver_state = S.SolverState.init(latents.shape)
+        if cfg.use_reference:
+            # fixed clean reference latents + their on-schedule noisy
+            # counterparts, denoised in lockstep (:1452-1456)
+            ref_latents = lat0
+            ref_noise = jnp.broadcast_to(
+                jax.random.normal(k2, lat0.shape[1:]), lat0.shape)
+            ref_noisy = self._shard_batch(
+                S.add_noise(sch, ref_latents, ref_noise, t0_vec))
+            ref_solver_state = S.SolverState.init(latents.shape)
+        else:
+            ref_latents = ref_noisy = ref_solver_state = None
 
         mesh_state = None
         mesh_fit_fns = None
@@ -517,6 +539,12 @@ class MVEdit3DPipeline:
                         latents = latents[jnp.asarray(ids)]
                         solver_state = solver_state._replace(
                             prev_x0=solver_state.prev_x0[jnp.asarray(ids)])
+                        if ref_noisy is not None:
+                            ref_latents = ref_latents[jnp.asarray(ids)]
+                            ref_noisy = ref_noisy[jnp.asarray(ids)]
+                            ref_solver_state = ref_solver_state._replace(
+                                prev_x0=ref_solver_state.prev_x0[
+                                    jnp.asarray(ids)])
                         if ctrl_images is not None:
                             ctrl_images = ctrl_images[jnp.asarray(ids)]
                             ctrl_depths = ctrl_depths[jnp.asarray(ids)]
@@ -557,14 +585,15 @@ class MVEdit3DPipeline:
                         [cfg.extra_control_scale] * len(extras2)
                     eps = one_pass(m.unet_params, m.cn_params, cfg_lat,
                                    t_vec, embeds, conds, scales,
-                                   cfg.guidance_scale, ip_context=ip2)
+                                   cfg.guidance_scale, ip_context=ip2,
+                                   ref_noisy=ref_noisy)
                 else:
                     eps, enc_state, p1_res = p1(
                         m.unet_params, m.cn_params, cfg_lat, t_vec,
                         embeds, None, cfg.depth_weight, cfg.guidance_scale,
                         ip_context=ip2, extra_images=extras2,
                         extra_scales=(cfg.extra_control_scale,)
-                        * len(extras2))
+                        * len(extras2), ref_noisy=ref_noisy)
                 sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
                 x0_lat = (latents - sn * eps) / sa
                 dec_imgs = (vae_dec(m.vae_params, x0_lat) + 1) / 2
@@ -659,13 +688,22 @@ class MVEdit3DPipeline:
                         m.unet_params, m.cn_params, cfg_lat,
                         enc_state, p1_res, t_vec, embeds, tiles2, depths2,
                         cfg.tile_weight, cfg.depth_weight,
-                        cfg.guidance_scale, ip_context=ip2)
+                        cfg.guidance_scale, ip_context=ip2,
+                        ref_noisy=ref_noisy)
                 bw = (1.0 - sa) if cfg.blend_mode == "dynamic" else 0.5
                 eps_final = bw * eps_3d + (1 - bw) * eps_unet
                 t_prev = int(steps[i + 1]) if i + 1 < len(steps) else -1
                 latents, solver_state = S.dpmsolver_step(
                     sch, latents, eps_final, jnp.asarray(int(t)),
                     jnp.asarray(t_prev), solver_state)
+                if ref_noisy is not None:
+                    # keep the reference rows exactly on-schedule: their
+                    # eps is the residual noise of the clean ref latents
+                    # (:1452-1456)
+                    ref_eps = (ref_noisy - sa * ref_latents) / sn
+                    ref_noisy, ref_solver_state = S.dpmsolver_step(
+                        sch, ref_noisy, ref_eps, jnp.asarray(int(t)),
+                        jnp.asarray(t_prev), ref_solver_state)
             if progress_callback:
                 progress_callback(i, len(steps))
 

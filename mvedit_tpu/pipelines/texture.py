@@ -45,6 +45,8 @@ class TextureConfig:
     # active when models.lpips_params is present
     patch_rgb_weight: float = 0.1
     blend_mode: str = "dynamic"
+    # reference-pair conditioning (mvedit_texture_pipeline.py:188)
+    use_reference: bool = True
     ingp: INGPConfig = field(default_factory=INGPConfig)
     mode: str = "2-pass"
 
@@ -139,7 +141,7 @@ class TexturePipeline:
         from .denoise import DenoiseModels, make_noise_pred_2pass
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
-                           num_views=N)
+                           num_views=N, use_reference=cfg.use_reference)
         p1, p2 = make_noise_pred_2pass(dm)
 
         geom = self._render_geometry(mesh, poses, intrinsics)
@@ -168,11 +170,22 @@ class TexturePipeline:
         init_rgb = render_now(params) if init_albedo_fn is None else \
             init_albedo_fn(geom)
         lat0 = vae_enc(self.m.vae_params, init_rgb * 2 - 1)
-        key, kn = jax.random.split(key)
-        noise = jax.random.normal(kn, lat0.shape)
-        latents = S.add_noise(sch, lat0, noise,
-                              jnp.full((N,), int(timesteps[0])))
+        key, kn, kr = jax.random.split(key, 3)
+        # view-shared noise (reference convention)
+        noise = jnp.broadcast_to(
+            jax.random.normal(kn, lat0.shape[1:]), lat0.shape)
+        t0_vec = jnp.full((N,), int(timesteps[0]))
+        latents = S.add_noise(sch, lat0, noise, t0_vec)
         solver_state = S.SolverState.init(latents.shape)
+        if cfg.use_reference:
+            ref_latents = lat0
+            ref_noisy = S.add_noise(
+                sch, lat0, jnp.broadcast_to(
+                    jax.random.normal(kr, lat0.shape[1:]), lat0.shape),
+                t0_vec)
+            ref_solver = S.SolverState.init(latents.shape)
+        else:
+            ref_latents = ref_noisy = ref_solver = None
         targets = {"images": init_rgb}
 
         for i, t in enumerate(timesteps):
@@ -182,7 +195,8 @@ class TexturePipeline:
             depths2 = jnp.concatenate([ctrl_depths, ctrl_depths], 0)
             eps, enc_state, p1_res = p1(
                 self.m.unet_params, self.m.cn_params, lat2, t_vec, embeds,
-                depths2, cfg.depth_weight, cfg.guidance_scale)
+                depths2, cfg.depth_weight, cfg.guidance_scale,
+                ref_noisy=ref_noisy)
             sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
             x0_lat = (latents - sn * eps) / sa
             targets["images"] = jnp.clip(
@@ -195,7 +209,7 @@ class TexturePipeline:
             eps_unet = p2(self.m.unet_params, self.m.cn_params, lat2,
                           enc_state, p1_res, t_vec, embeds, tiles2, depths2,
                           cfg.tile_weight, cfg.depth_weight,
-                          cfg.guidance_scale)
+                          cfg.guidance_scale, ref_noisy=ref_noisy)
             lat_3d = vae_enc(self.m.vae_params, renders * 2 - 1)
             eps_3d = (latents - sa * lat_3d) / sn
             bw = (1.0 - sa) if cfg.blend_mode == "dynamic" else 0.5
@@ -204,6 +218,11 @@ class TexturePipeline:
             latents, solver_state = S.dpmsolver_step(
                 sch, latents, eps_final, jnp.asarray(int(t)),
                 jnp.asarray(t_prev), solver_state)
+            if ref_noisy is not None:
+                ref_eps = (ref_noisy - sa * ref_latents) / sn
+                ref_noisy, ref_solver = S.dpmsolver_step(
+                    sch, ref_noisy, ref_eps, jnp.asarray(int(t)),
+                    jnp.asarray(t_prev), ref_solver)
 
         # bake
         out_mesh = Mesh(v=mesh.v.copy(), f=mesh.f.copy(), vn=mesh.vn,

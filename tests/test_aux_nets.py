@@ -30,7 +30,8 @@ def test_tracer_segment_full():
 
 def test_dpt_normal_model_shapes():
     from mvedit_tpu.models.segmentors.dpt import DPTNormalModel
-    m = DPTNormalModel(vit_layers=2, readout_taps=(0, 1))
+    m = DPTNormalModel(vit_layers=2, readout_taps=(0, 1),
+                       resnet_layers=(1, 1, 1))
     x = jnp.zeros((1, 64, 64, 3))
     params = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)

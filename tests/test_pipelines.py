@@ -231,3 +231,32 @@ def test_mvedit3d_view_pruning_and_schedules(tmp_path):
     # min bucket (2 views)
     assert out["renders"]["rgb"].shape[0] == cfg.min_num_views
     assert out["mesh_state"] is not None
+
+
+def test_reference_pair_denoise():
+    """use_reference mode (mvedit_3d_pipeline.py:892 default True): the
+    cond pass pairs each view with its noisy reference latent; changing
+    the reference must change the prediction, and output shape is the
+    per-view target batch."""
+    from mvedit_tpu.pipelines import DenoiseModels, make_noise_pred_2pass
+    m = _make_models(jax.random.PRNGKey(0))
+    N = 3
+    dm = DenoiseModels(unet=m.unet, controlnets=tuple(m.controlnets),
+                       num_views=N, use_reference=True)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2 * N, 8, 8, 4))
+    ref = jax.random.normal(jax.random.PRNGKey(2), (N, 8, 8, 4))
+    t = jnp.full((2 * N,), 500, jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(3), (2 * N, 8, 32))
+    tile = jnp.zeros((2 * N, 64, 64, 3))
+
+    p1, p2 = make_noise_pred_2pass(dm)
+    eps, enc, res = p1(m.unet_params, m.cn_params, lat, t, emb, None,
+                       0.5, 3.0, ref_noisy=ref)
+    assert eps.shape == (N, 8, 8, 4)
+    assert np.isfinite(np.asarray(eps)).all()
+    eps2 = p2(m.unet_params, m.cn_params, lat, enc, res, t, emb, tile,
+              tile, 1.0, 0.5, 3.0, ref_noisy=ref)
+    assert eps2.shape == (N, 8, 8, 4)
+    eps_b, _, _ = p1(m.unet_params, m.cn_params, lat, t, emb, None,
+                     0.5, 3.0, ref_noisy=ref * 0.1)
+    assert not np.allclose(np.asarray(eps), np.asarray(eps_b), atol=1e-5)

@@ -194,3 +194,48 @@ def test_ddpm_unet_triplane_shapes():
     params = net.init(jax.random.PRNGKey(0), x, t)
     out = net.apply(params, x, t)
     assert out.shape == x.shape
+
+
+def test_val_guide_and_val_optim():
+    """Guided sampling + post-sampling code refinement
+    (DiffusionNeRF.val_guide/val_optim, diffusion_nerf.py:240-411)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvedit_tpu.models.ssdnerf import (SSDNeRFConfig, make_val_guide,
+                                           make_val_optim, tanh_code)
+    from mvedit_tpu.models.triplane import TriPlaneConfig, triplane_init
+    from mvedit_tpu.models.volume_renderer import RenderConfig
+    from mvedit_tpu.models.diffusion import schedulers as S
+
+    tcfg = TriPlaneConfig(n_channels=4, base_layers=(12, 16),
+                          density_layers=(16, 1), color_layers=(16, 3),
+                          dir_layers=(8, 16), bound=0.5)
+    cfg = SSDNeRFConfig(code_shape=(3, 4, 8, 8), latent_shape=(3, 4, 8, 8),
+                        triplane=tcfg,
+                        render=RenderConfig(num_samples=8, bound=0.5,
+                                            grid_size=8),
+                        n_rays=32, code_lr=0.04)
+    schedule = S.sd_schedule(prediction_type="v_prediction")
+
+    def denoise_apply(params, x, t, cond=None):
+        return x * 0.1   # trivial denoiser stub
+
+    key = jax.random.PRNGKey(0)
+    decoder = triplane_init(key, tcfg)
+    B, R = 2, 32
+    cond_batch = {
+        "rays_o": jnp.tile(jnp.asarray([0.0, 0.0, -1.5]), (B, R, 1)),
+        "rays_d": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (B, R, 1)),
+        "rgb": jnp.ones((B, R, 3)) * 0.5,
+    }
+    vg = make_val_guide(denoise_apply, tcfg, cfg, schedule)
+    code = vg(None, decoder, cond_batch, key, num_steps=3)
+    assert code.shape == (B, 3, 4, 8, 8)
+    assert np.isfinite(np.asarray(code)).all()
+
+    vo = make_val_optim(denoise_apply, tcfg, cfg, schedule, n_steps=4)
+    code2, losses = vo(None, code, decoder, cond_batch,
+                       jax.random.PRNGKey(1))
+    assert code2.shape == code.shape
+    assert np.isfinite(np.asarray(losses)).all()
