@@ -115,8 +115,11 @@ class EndpointsMixin:
                 log2_hashmap_size=12 if tiny else 19,
                 base_resolution=4 if tiny else 16,
                 max_resolution=32 if tiny else 320))
+        # reference default 128 (webui/parameters.py tet_resolution /
+        # demo tets); feasible on one chip via static-capacity surface
+        # compaction (marching_tets_compact)
         tet_resolution = overrides.pop("tet_resolution",
-                                       16 if tiny else 48)
+                                       16 if tiny else 128)
         return MVEdit3DConfig(
             num_views=num_views,
             # view schedule 32 -> 16 -> 9 (mvedit_3d_pipeline.py:45-49),
@@ -201,10 +204,14 @@ class EndpointsMixin:
     def run_3d_to_3d(self, mesh_path, prompt, negative_prompt="", seed=42,
                      steps=None, num_views=None, n_inverse_steps=None,
                      init_inverse_steps=None, instruct=False,
-                     out_path=None, **kwargs):
+                     front_view_id=None, out_path=None, **kwargs):
         """Mesh editing (adapter3d.py:954-1050): render init views ->
         denoise<->reconstruct -> GLB. Extra kwargs follow the public
-        nerf_mesh parameter schema (apis/parameters.py)."""
+        nerf_mesh parameter schema (apis/parameters.py). front_view_id
+        (an index into the preproc turntable) weights the view losses by
+        a vonmises pdf around its azimuth and appends per-view
+        'side view'/'view from behind' prompt suffixes
+        (adapter3d.py:999-1005 + proc_nerf_mesh :528-530)."""
         from ..pipelines import MVEdit3DPipeline
         from . import parameters as P
         tiny = self.tiny
@@ -240,13 +247,25 @@ class EndpointsMixin:
                                    lights)
         # no normal supervision here: the reference's run_3d_to_3d passes
         # normal_model=None (adapter3d.py:974) — geometry is free to change
+        cam_weights = np.ones((num_views,), np.float32)
+        prompts = [prompt] * num_views
+        if front_view_id is not None and \
+                0 <= front_view_id < c["preproc_num_views"]:
+            from scipy.stats import vonmises
+            front_azi = front_view_id / c["preproc_num_views"] * 2 * np.pi
+            cam_azi = np.arctan2(poses[:, 1, 3], poses[:, 0, 3])
+            cam_weights = (vonmises.pdf(
+                cam_azi, loc=front_azi,
+                kappa=c["vonmises_kappa"]) * 2 * np.pi).astype(np.float32)
+            prompts = [self._join_prompts(prompt, s) for s in
+                       cam_utils.view_prompts(poses, front_azi)]
         targets = {
             "images": init["images"], "masks": init["masks"],
             "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
-            "cam_weights": jnp.ones((num_views,)),
+            "cam_weights": jnp.asarray(cam_weights),
             "cam_lights": jnp.asarray(lights),
         }
-        pos, neg = self.encode_prompt(m, [prompt] * num_views,
+        pos, neg = self.encode_prompt(m, prompts,
                                       [negative_prompt] * num_views)
         pipe = MVEdit3DPipeline(m, cfg)
         out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)

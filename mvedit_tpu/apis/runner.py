@@ -493,19 +493,84 @@ class Adapter3DRunner(EndpointsMixin):
         return np.clip(tex, 0.0, 1.0)
 
     def run_retex(self, mesh_path, prompt, negative_prompt="", seed=42,
-                  steps=12, denoising_strength=0.7, cfg_scale=7.0,
+                  steps=12, denoising_strength=0.7, cfg_scale=None,
                   num_views=None, render_size=None, n_inverse_steps=24,
-                  out_path=None):
-        """Re-texturing endpoint (adapter3d.py:1083 run_retex ->
-        TexturePipeline)."""
+                  instruct=False, front_view_id=None, in_image=None,
+                  out_path=None, **kwargs):
+        """Re-texturing endpoint (adapter3d.py:1084 run_retex ->
+        TexturePipeline). instruct=True appends the ip2p ControlNet
+        conditioned on the source renders (adapter3d.py:1096-1099);
+        front_view_id indexes the preproc views: the rig starts at its
+        azimuth, per-view loss weights follow a vonmises pdf (weight 3.0
+        on the front view), an extra top view is appended, and per-view
+        'side view'/'view from behind' prompt suffixes are applied
+        (adapter3d.py:1137-1155). in_image enables IP-Adapter image
+        prompting (adapter3d.py:1105-1115). Extra kwargs follow
+        `apis/parameters.py::retex_defaults`."""
         from ..pipelines import TextureConfig, TexturePipeline
         from ..models.fields import INGPConfig
         from ..ops.hash_grid import HashGridConfig
+        from ..utils import camera as cam_utils
+        from . import parameters as P
+        nk = dict(P.retex_defaults)
+        if instruct:
+            nk.update(P.instruct_retex_params)
+        for k, v in kwargs.items():
+            if k in nk and v is not None:
+                nk[k] = v
+        prompt = ", ".join(p for p in (prompt, nk["aux_prompt"]) if p)
+        negative_prompt = ", ".join(
+            p for p in (negative_prompt, nk["aux_negative_prompt"]) if p)
         m = self.load_stable_diffusion()
-        m.controlnets, m.cn_params = self.load_controlnets()
+        m.controlnets, m.cn_params = self.load_controlnets(
+            ("tile", "depth", "ip2p") if instruct else ("tile", "depth"))
         m.lpips_params = self.load_lpips()
+        if in_image is not None:
+            self.enable_ip_adapter(m, in_image)
+        else:
+            m.ip_context = None
         num_views = num_views or (4 if self.tiny else 12)
         render_size = render_size or (64 if self.tiny else 512)
+        c = self.constants
+        rng = np.random.default_rng(seed)
+        # front-view weighting (adapter3d.py:1137-1155)
+        front_azi = cam_weights = None
+        if front_view_id is not None and \
+                0 <= front_view_id < c["preproc_num_views"]:
+            front_azi = front_view_id / c["preproc_num_views"] * 2 * np.pi
+        poses, intr = C.surround_rig(
+            num_views, c["proc_3d_to_3d_camera_distance"],
+            c["proc_3d_to_3d_fov"], c["proc_retex_min_elev"],
+            c["proc_retex_max_elev"], render_size,
+            begin_rad=front_azi or 0.0, rng=rng)
+        prompts = [prompt] * num_views
+        if front_azi is not None:
+            from scipy.stats import vonmises
+            cam_azi = np.arctan2(poses[:, 1, 3], poses[:, 0, 3])
+            cam_weights = vonmises.pdf(
+                cam_azi, loc=front_azi,
+                kappa=c["vonmises_kappa"]) * (2 * np.pi)
+            cam_weights[0] = 3.0
+            # extra top-down view (elev 0.6 rad) with weight 1.0
+            aux_pose = cam_utils.get_pose_from_angles(
+                np.array([front_azi], np.float32),
+                np.array([0.6], np.float32),
+                np.array([c["proc_3d_to_3d_camera_distance"]],
+                         np.float32))[:, :3]
+            # aux view inserted at index 1 so keep_first_views=2 protects
+            # front + aux (ref keep_views=[0, max_num_views],
+            # adapter3d.py:1152)
+            poses = np.concatenate([poses[:1], aux_pose, poses[1:]], 0)
+            intr = np.concatenate([intr, intr[:1]], 0)
+            suffixes = cam_utils.view_prompts(
+                np.concatenate([poses[:1], poses[2:]], 0), front_azi)
+            suffixes = [suffixes[0], "view from above"] + suffixes[1:]
+            cam_weights = np.concatenate(
+                [cam_weights[:1], [1.0], cam_weights[1:]]
+            ).astype(np.float32)
+            prompts = [", ".join(p for p in (prompt, s) if p)
+                       for s in suffixes]
+            num_views = num_views + 1
         from ..ops.dense_grid import DenseGridConfig
         ingp = INGPConfig(
             backend="dense",
@@ -519,21 +584,23 @@ class Adapter3DRunner(EndpointsMixin):
         cfg = TextureConfig(
             num_views=num_views, render_size=render_size,
             diffusion_steps=steps, denoising_strength=denoising_strength,
-            guidance_scale=cfg_scale, n_inverse_steps=n_inverse_steps,
-            ingp=ingp)
+            guidance_scale=float(cfg_scale if cfg_scale is not None
+                                 else nk["cfg_scale"]),
+            n_inverse_steps=n_inverse_steps, lr=float(nk["lr"]),
+            views_per_step=int(nk["render_bs"]),
+            # view schedule 32 -> 9 power-2 ramp
+            # (mvedit_texture_pipeline.py:36 + retex_defaults)
+            min_num_views=min(int(nk["min_num_views"]), num_views),
+            keep_first_views=2 if front_azi is not None else 0,
+            mode=nk["mvedit_mode"], ingp=ingp)
         pre = self.run_mesh_preproc(mesh_path)
         mesh = pre["mesh"]
-        c = self.constants
-        poses, intr = C.surround_rig(
-            num_views, c["proc_3d_to_3d_camera_distance"],
-            c["proc_3d_to_3d_fov"], c["proc_retex_min_elev"],
-            c["proc_retex_max_elev"], render_size,
-            rng=np.random.default_rng(seed))
         pos_e, neg_e = self.encode_prompt(
-            m, [prompt] * num_views, [negative_prompt] * num_views)
+            m, prompts, [negative_prompt] * num_views)
         pipe = TexturePipeline(m, cfg)
         out = pipe(mesh, jnp.asarray(poses), jnp.asarray(intr), pos_e,
-                   neg_e, jax.random.PRNGKey(seed))
+                   neg_e, jax.random.PRNGKey(seed),
+                   cam_weights=cam_weights)
         if out_path:
             out["mesh"].write(out_path, flip_yz=True)
         return out

@@ -42,8 +42,8 @@ class ApiServer:
                 self._zero123plus_to_mesh("1.2"),
             "3d_to_3d_mvedit": self._3d_to_3d(False),
             "3d_to_3d_mvedit_instruct": self._3d_to_3d(True),
-            "retex_mvedit": self._retex,
-            "retex_mvedit_instruct": self._retex,
+            "retex_mvedit": self._retex(False),
+            "retex_mvedit_instruct": self._retex(True),
             "texture_superres": self._texture_superres,
             "mesh_to_video": self._mesh_to_video,
             "health": lambda body: {"status": "ok"},
@@ -79,20 +79,22 @@ class ApiServer:
                 "num_verts": int(len(out["mesh"].v)),
                 "num_faces": int(len(out["mesh"].f))}
 
-    def _retex(self, body):
-        with tempfile.NamedTemporaryFile(suffix=".glb") as fin, \
-                tempfile.NamedTemporaryFile(suffix=".glb") as fout:
-            fin.write(base64.b64decode(body["mesh"]))
-            fin.flush()
-            self.runner.run_retex(
-                fin.name, body.get("prompt", ""),
-                body.get("negative_prompt", ""),
-                seed=body.get("seed", 42),
-                steps=body.get("steps", 12),
-                out_path=fout.name)
-            fout.seek(0)
-            data = open(fout.name, "rb").read()
-        return {"mesh": base64.b64encode(data).decode()}
+    def _retex(self, instruct):
+        def fn(body):
+            with tempfile.NamedTemporaryFile(suffix=".glb") as fin, \
+                    tempfile.NamedTemporaryFile(suffix=".glb") as fout:
+                fin.write(base64.b64decode(body["mesh"]))
+                fin.flush()
+                self.runner.run_retex(
+                    fin.name, body.get("prompt", ""),
+                    body.get("negative_prompt", ""),
+                    seed=body.get("seed", 42),
+                    steps=body.get("steps", 12), instruct=instruct,
+                    front_view_id=body.get("front_view_id"),
+                    out_path=fout.name)
+                data = open(fout.name, "rb").read()
+            return {"mesh": base64.b64encode(data).decode()}
+        return fn
 
     def _text_to_img(self, body):
         img = self.runner.run_text_to_img(

@@ -113,13 +113,14 @@ def build_app(runner, advanced=False, debug=False):
         return out
 
     def retex_fn(mesh_path, prompt, negative_prompt, seed, steps,
-                 denoising_strength, cfg_scale):
+                 denoising_strength, cfg_scale, instruct=False):
         out = _out_path(".glb")
         runner.run_retex(mesh_path, prompt,
                          negative_prompt=negative_prompt or "",
                          seed=int(seed), steps=int(steps),
                          denoising_strength=float(denoising_strength),
-                         cfg_scale=float(cfg_scale), out_path=out)
+                         cfg_scale=float(cfg_scale), instruct=instruct,
+                         out_path=out)
         return out
 
     def ssdnerf_fn(prompt, negative_prompt, seed, steps,
@@ -287,7 +288,9 @@ def build_app(runner, advanced=False, debug=False):
                             neg = vv.get("negative_prompt") or gr.Textbox(
                                 visible=False)
                             gr.Button("Re-texture").click(
-                                retex_fn,
+                                (lambda m, p, n, s, st, d, c, i=instruct:
+                                 retex_fn(m, p, n, s, st, d, c,
+                                          instruct=i)),
                                 [in_mesh, vv["prompt"], neg, vv["seed"],
                                  vv["steps"], vv["denoising_strength"],
                                  vv["cfg_scale"]],

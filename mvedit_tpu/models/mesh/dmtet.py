@@ -194,3 +194,85 @@ def marching_tets(grid, sdf, deform=None):
     face_mask = jnp.concatenate([mask0, mask1])
     return {"verts": verts, "vert_mask": vert_mask, "faces": faces,
             "face_mask": face_mask}
+
+
+def marching_tets_compact(grid, sdf, deform=None, vert_cap=65536,
+                          face_cap=131072):
+    """Isosurface extraction into STATIC-CAPACITY compact buffers.
+
+    The full unique-edge buffer at tet res R holds ~7R^3 entries, but only
+    the O(R^2) surface-crossing edges produce vertices. The reference
+    gathers them with dynamic `nonzero()` (torch); here crossing edges are
+    scattered into fixed-size slots with a cumsum prefix (all channel-first
+    — a (E, 3) buffer tile-pads 42x on TPU, (3, E) only 2.7x), so every
+    downstream consumer (renderer, regularizers, bake) works on cap-sized
+    arrays. At R=128 this shrinks the fit's working set ~50x and is what
+    makes R>=128 fit in HBM (the full-buffer path OOMs at compile).
+
+    Returns the `marching_tets` dict (verts (vert_cap,3), faces
+    (face_cap,3), masks) plus n_verts/n_faces counts (traced scalars;
+    values beyond the caps are dropped — pick caps ~16R^2 / ~24R^2).
+    """
+    ga = grid.arrays() if isinstance(grid, TetGrid) else grid
+    pos = ga["verts"]
+    if deform is not None:
+        pos = pos + deform
+    tets = ga["tets"]
+    ue = ga["unique_edges"]
+    te = ga["tet_edge_idx"]
+
+    occ = sdf > 0
+    ue0 = ue[:, 0]
+    ue1 = ue[:, 1]
+    s_a = sdf[ue0]
+    s_b = sdf[ue1]
+    vert_mask = occ[ue0] != occ[ue1]                # (E,)
+    denom = s_a - s_b
+    denom = jnp.where(jnp.abs(denom) < 1e-10,
+                      jnp.where(denom >= 0, 1e-10, -1e-10), denom)
+    w_a = jnp.clip(-s_b / denom, 0.0, 1.0)
+    w_b = 1.0 - w_a
+    pos_t = pos.T                                   # (3, V)
+    verts_t = pos_t[:, ue0] * w_a[None] + pos_t[:, ue1] * w_b[None]
+
+    # --- compact verts: crossing edges -> slots [0, vert_cap) ----------
+    vslot = jnp.cumsum(vert_mask.astype(jnp.int32)) - 1       # (E,)
+    n_verts = jnp.where(vert_mask.any(), vslot[-1] + 1, 0)
+    in_cap = vert_mask & (vslot < vert_cap)
+    vdest = jnp.where(in_cap, vslot, vert_cap)      # overflow -> dump slot
+    verts_ct = jnp.zeros((3, vert_cap + 1), verts_t.dtype)
+    verts_ct = verts_ct.at[:, vdest].set(verts_t, mode="drop")
+    # edge id -> compact slot (vert_cap marks dropped/junk)
+    emap = vdest.astype(jnp.int32)
+
+    # --- faces over compact vert ids -----------------------------------
+    occ_t = occ[tets.T].astype(jnp.int32)           # (4, T)
+    tetindex = (occ_t[0] + 2 * occ_t[1] + 4 * occ_t[2] + 8 * occ_t[3])
+    tri_tab_t = jnp.asarray(TRIANGLE_TABLE).T[:, tetindex]    # (6, T)
+    ntri = jnp.asarray(NUM_TRIANGLES_TABLE)[tetindex]         # (T,)
+    safe_tab_t = jnp.clip(tri_tab_t, 0, 5)
+    global_ids_t = jnp.take_along_axis(te.T, safe_tab_t, axis=0)  # (6, T)
+    remap_t = emap[global_ids_t]                    # (6, T) compact ids
+    tri0 = remap_t[:3]
+    tri1 = remap_t[3:]
+    # faces referencing an overflowed vert are invalid
+    mask0 = (ntri > 0) & (tri0 < vert_cap).all(axis=0)
+    mask1 = (ntri > 1) & (tri1 < vert_cap).all(axis=0)
+    faces_t = jnp.concatenate(
+        [jnp.where(mask0[None], tri0, 0),
+         jnp.where(mask1[None], tri1, 0)], axis=1)  # (3, 2T)
+    fmask = jnp.concatenate([mask0, mask1])         # (2T,)
+
+    fslot = jnp.cumsum(fmask.astype(jnp.int32)) - 1
+    n_faces = jnp.where(fmask.any(), fslot[-1] + 1, 0)
+    fdest = jnp.where(fmask & (fslot < face_cap), fslot, face_cap)
+    faces_ct = jnp.zeros((3, face_cap + 1), jnp.int32)
+    faces_ct = faces_ct.at[:, fdest].set(faces_t, mode="drop")
+
+    vert_mask_c = jnp.arange(vert_cap) < jnp.minimum(n_verts, vert_cap)
+    face_mask_c = jnp.arange(face_cap) < jnp.minimum(n_faces, face_cap)
+    return {"verts": verts_ct[:, :vert_cap].T,
+            "vert_mask": vert_mask_c,
+            "faces": faces_ct[:, :face_cap].T,
+            "face_mask": face_mask_c,
+            "n_verts": n_verts, "n_faces": n_faces}

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.tonemapping import Tonemapping
-from .mesh.dmtet import TetGrid, marching_tets
+from .mesh.dmtet import TetGrid, marching_tets, marching_tets_compact
 from .mesh.rasterize import RasterConfig
 from .mesh.renderer import render_views
 from . import losses as L
@@ -55,6 +55,13 @@ class MeshFitConfig:
     bg_color: float = 1.0
     shaded: bool = True
     ssaa: int = 1
+    # static-capacity surface compaction (marching_tets_compact): caps on
+    # extracted verts/faces. 0 = full unique-edge buffers (fine to ~res
+    # 64; res >= 128 NEEDS caps — the full-buffer fit OOMs at compile).
+    # Surface-crossing counts scale ~res^2; ~16 res^2 / ~24 res^2 are
+    # generous for typical objects.
+    vert_cap: int = 0
+    face_cap: int = 0
 
 
 def default_mesh_schedule_weights(cfg: "MeshFitConfig"):
@@ -143,6 +150,10 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         # jitted: eager marching_tets materializes poorly-tiled (N,3)
         # temporaries (42x padding) and OOMs at full tet scale
         deform = jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
+        if cfg.vert_cap:
+            return marching_tets_compact(
+                ga, state["sdf"], deform=deform, vert_cap=cfg.vert_cap,
+                face_cap=cfg.face_cap or 2 * cfg.vert_cap)
         return marching_tets(ga, state["sdf"], deform=deform)
 
     def extract(state, ga=None):

@@ -109,7 +109,9 @@ def _code_adam(codes, grads, m, v, steps, lr, b1=0.9, b2=0.99, eps=1e-8):
 
 def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
                     cfg: SSDNeRFConfig, schedule: S.NoiseSchedule,
-                    with_decoder_loss=True):
+                    with_decoder_loss=True, with_diffusion=True,
+                    lpips_params=None, lpips_weight=1.2,
+                    patch_size=None):
     """Build the jitted SSDNeRF train step.
 
     denoise_apply(params, x, t, cond) -> model out over the latent shape.
@@ -117,6 +119,10 @@ def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
       state = {denoiser, denoiser_opt, decoder, decoder_opt,
                codes, code_m, code_v, code_steps}
       batch = {rays_o (B,R,3), rays_d (B,R,3), rgb (B,R,3), cond (any)}
+
+    with_diffusion=False gives the stage-1 auto-decoder step (reference
+    `MultiSceneNeRF`, configs/paper_cfgs/stage1_cars_recons16v.py): render
+    loss only, no denoiser in `state`, no prior-grad mixing.
     """
     denoiser_opt = optax.adamw(cfg.denoiser_lr, b1=0.9, b2=0.999,
                                weight_decay=1e-2)
@@ -133,11 +139,22 @@ def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
                 return (s.reshape(x.shape[:-1]),
                         c.reshape(*x.shape[:-1], 3))
             out = render_rays(decode, ro, rd, cfg.render, bg_color=1.0)
-            return jnp.mean(jnp.abs(out["rgb"] - rgb))
+            return jnp.mean(jnp.abs(out["rgb"] - rgb)), out["rgb"]
 
-        losses = jax.vmap(one_scene)(codes_act, batch["rays_o"],
-                                     batch["rays_d"], batch["rgb"])
-        return jnp.mean(losses)
+        losses, rendered = jax.vmap(one_scene)(
+            codes_act, batch["rays_o"], batch["rays_d"], batch["rgb"])
+        total = jnp.mean(losses)
+        if lpips_params is not None and patch_size is not None:
+            # rays arrive as contiguous (ps, ps) patches (loader
+            # patch_size mode) -> perceptual loss, the StableSSDNeRF
+            # LPIPS term (configs/sd/stablessdnerf_cars_lpips.py)
+            ps = patch_size
+            pr = rendered.reshape(B, ps, ps, 3)
+            pt = batch["rgb"].reshape(B, ps, ps, 3)
+            from . import losses as L
+            total = total + L.lpips_apply(lpips_params, pr, pt) \
+                * lpips_weight
+        return total
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, key):
@@ -147,23 +164,29 @@ def make_train_step(denoise_apply: Callable, decoder_cfg: TriPlaneConfig,
         metrics = {}
 
         # --- (a) diffusion loss on codes -> denoiser update -------------
-        t = jax.random.randint(k1, (B,), 0, schedule.num_train_timesteps)
-        noise = jax.random.normal(k2, codes.shape)
+        if with_diffusion:
+            t = jax.random.randint(k1, (B,), 0,
+                                   schedule.num_train_timesteps)
+            noise = jax.random.normal(k2, codes.shape)
 
-        def diff_loss_fn(dparams, codes):
-            return GD.training_loss(
-                schedule,
-                lambda x, tt, c: denoise_apply(dparams, x, tt, c),
-                codes, t, noise, cond=batch.get("cond"), cfg=cfg.diffusion)
+            def diff_loss_fn(dparams, codes):
+                return GD.training_loss(
+                    schedule,
+                    lambda x, tt, c: denoise_apply(dparams, x, tt, c),
+                    codes, t, noise, cond=batch.get("cond"),
+                    cfg=cfg.diffusion)
 
-        (dloss, (dgrads, code_prior_grads)) = (
-            lambda l, g: (l, g))(*jax.value_and_grad(
-                diff_loss_fn, argnums=(0, 1))(state["denoiser"], codes))
-        updates, dopt = denoiser_opt.update(dgrads, state["denoiser_opt"],
-                                            state["denoiser"])
-        state["denoiser"] = optax.apply_updates(state["denoiser"], updates)
-        state["denoiser_opt"] = dopt
-        metrics["loss_diffusion"] = dloss
+            (dloss, (dgrads, code_prior_grads)) = (
+                lambda l, g: (l, g))(*jax.value_and_grad(
+                    diff_loss_fn, argnums=(0, 1))(state["denoiser"], codes))
+            updates, dopt = denoiser_opt.update(
+                dgrads, state["denoiser_opt"], state["denoiser"])
+            state["denoiser"] = optax.apply_updates(state["denoiser"],
+                                                    updates)
+            state["denoiser_opt"] = dopt
+            metrics["loss_diffusion"] = dloss
+        else:
+            code_prior_grads = jnp.zeros_like(codes)
 
         # --- (b) render loss -> code + decoder updates ------------------
         if with_decoder_loss:

@@ -320,13 +320,21 @@ class MVEdit3DPipeline:
         key = ("mesh", n_steps)
         if key not in self._fit_cache:
             cfg = self.cfg
+            # static-capacity surface compaction from res 32 up: caps
+            # ~16/24 res^2 cover typical surfaces with slack; res >= 128
+            # REQUIRES it (full unique-edge buffers OOM at compile)
+            res = cfg.tet_resolution
+            vert_cap = 1 << max(9, (16 * res * res - 1).bit_length()) \
+                if res >= 32 else 0
             mcfg = MF.MeshFitConfig(
                 raster=self._mesh_raster_cfg(cfg.render_size),
                 n_steps=n_steps,
                 normal_reg_weight=cfg.mesh_normal_reg_weight,
                 laplacian_weight=0.25 * cfg.mesh_smoothness,
                 normal_consistency_weight=0.25 * cfg.mesh_smoothness,
-                patch_size=min(cfg.patch_size, cfg.render_size))
+                patch_size=min(cfg.patch_size, cfg.render_size),
+                vert_cap=vert_cap,
+                face_cap=vert_cap + (vert_cap >> 1))
             self._fit_cache[key] = MF.make_mesh_fit(
                 tet_grid, self._color_fn, mcfg)
         return self._fit_cache[key]

@@ -148,10 +148,10 @@ class TextureSuperResPipeline:
         params = ingp_init(k0, cfg.ingp)
         color_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)[1]  # noqa
         fit, optimizer = make_texture_fit(
-            color_fn, tcfg, geom,
+            color_fn, tcfg,
             lpips_params=getattr(self.m, "lpips_params", None))
         opt_state = optimizer.init(params)
-        params, opt_state, _ = fit(params, opt_state,
+        params, opt_state, _ = fit(params, opt_state, geom,
                                    {"images": final_views})
 
         # bake at atlas_size + blend with original using UV cam weights

@@ -83,6 +83,12 @@ class CheckpointHook(Hook):
             return
         self.save(trainer)
 
+    def after_run(self, trainer):
+        # always leave a final checkpoint (the reference saves on exit;
+        # short runs would otherwise end with no restorable state)
+        if trainer.step % self.interval:
+            self.save(trainer)
+
     def save(self, trainer):
         import orbax.checkpoint as ocp
         path = os.path.abspath(

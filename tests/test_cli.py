@@ -111,3 +111,65 @@ def test_webui_endpoint_names_match_reference():
     }
     missing = expected - names
     assert not missing, f"webui missing reference endpoints: {missing}"
+
+
+@pytest.mark.slow
+def test_two_stage_training_and_recons_eval(tmp_path):
+    """Stage-1 auto-decoder (MultiSceneNeRF analog) -> stage-2 diffusion
+    warm-started from the stage-1 code cache -> recons-1v eval via
+    val_optim (ref configs/paper_cfgs/stage1_*/stage2_* + multiview_recons
+    protocol)."""
+    data = str(tmp_path / "srn")
+    os.makedirs(data)
+    for i in range(4):
+        _make_srn_scene(data, f"scene{i}")
+    with open(os.path.join(REPO, "configs", "ssdnerf_cars.py")) as f:
+        src = f.read()
+    src = src.replace("code_shape=(3, 16, 80, 80)",
+                      "code_shape=(3, 16, 8, 8)")
+    src = src.replace("latent_shape=(3, 12, 40, 40)",
+                      "latent_shape=(3, 12, 8, 8)")
+    src = src.replace("num_samples=96", "num_samples=8")
+    src = src.replace("n_rays=4096", "n_rays=32")
+    src = src.replace("batch_size=4", "batch_size=2")
+    src = src.replace('jnp.zeros((1, 3, 12, 40, 40))',
+                      'jnp.zeros((1, 3, 12, 8, 8))')
+    src = src.replace("ch: int = 128", "ch: int = 32")
+    # stage 1: no diffusion
+    src1 = src.replace("train_config = dict(",
+                       "train_config = dict(\n    no_diffusion=True,")
+    cfg1 = str(tmp_path / "cfg_stage1.py")
+    with open(cfg1, "w") as f:
+        f.write(src1)
+    work = str(tmp_path / "work")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_ssdnerf.py"),
+         "--config", cfg1, "--data", data, "--work-dir", work,
+         "--max-iters", "2"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(work, "scene_cache.npz"))
+
+    # stage 2: diffusion on top of the cached codes
+    src2 = src.replace(
+        "train_config = dict(",
+        "train_config = dict(\n    init_scene_cache='scene_cache.npz',")
+    cfg2 = str(tmp_path / "cfg_stage2.py")
+    with open(cfg2, "w") as f:
+        f.write(src2)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_ssdnerf.py"),
+         "--config", cfg2, "--data", data, "--work-dir", work,
+         "--max-iters", "2"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # recons-1v eval: reconstruct codes from 1 cond view via val_optim
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test_ssdnerf.py"),
+         "--config", cfg2, "--data", data, "--work-dir", work,
+         "--num-scenes", "1", "--recons-views", "1",
+         "--recons-steps", "4"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PSNR" in r.stdout

@@ -114,3 +114,20 @@ def test_run_stablessdnerf_to_mesh_end_to_end(runner, tmp_path):
     assert "nerf_params" in out
     if out["mesh"] is not None:
         assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
+def test_run_retex_instruct_front_view(runner, tmp_path):
+    """Instruct retex with a front view: ip2p net loaded, vonmises cam
+    weights + aux top view + per-view prompt suffixes
+    (adapter3d.py:1084-1155)."""
+    mesh_path = _sphere_glb(tmp_path)
+    out_path = str(tmp_path / "retex.glb")
+    out = runner.run_retex(mesh_path, "shiny", seed=1, steps=2,
+                           n_inverse_steps=2, num_views=2,
+                           instruct=True, front_view_id=3,
+                           out_path=out_path)
+    # +1 aux top view appended to the 2-view rig
+    assert out["renders"].shape[0] == 3
+    assert np.isfinite(out["mesh"].albedo).all()
+    assert Mesh.load(out_path).albedo is not None

@@ -345,3 +345,49 @@ def test_vc_to_texture_bake(tmp_path):
     assert mesh.albedo is not None
     assert np.isfinite(mesh.albedo).all()
     assert mesh.albedo.max() > 0.5
+
+
+def test_marching_tets_compact_matches_full():
+    """Static-capacity compaction must reproduce the full extraction's
+    crossing verts/faces in cumsum order, with correct face remapping,
+    gradient flow, and overflow truncation."""
+    from mvedit_tpu.models.mesh.dmtet import marching_tets_compact
+    grid = build_grid_tets(12, crop_sphere=False)
+    sdf = 0.55 - jnp.linalg.norm(jnp.asarray(grid.verts), axis=-1)
+    full = marching_tets(grid, sdf)
+    comp = marching_tets_compact(grid, sdf, vert_cap=4096, face_cap=8192)
+
+    vm = np.asarray(full["vert_mask"])
+    nv = int(comp["n_verts"])
+    nf = int(comp["n_faces"])
+    assert nv == vm.sum()
+    np.testing.assert_allclose(np.asarray(comp["verts"])[:nv],
+                               np.asarray(full["verts"])[vm], atol=1e-6)
+    assert np.asarray(comp["vert_mask"])[:nv].all()
+    assert not np.asarray(comp["vert_mask"])[nv:].any()
+
+    # faces remap: full edge ids -> compact slots (cumsum order)
+    emap = np.cumsum(vm) - 1
+    fm = np.asarray(full["face_mask"])
+    expect = emap[np.asarray(full["faces"])[fm]]
+    assert nf == fm.sum()
+    np.testing.assert_array_equal(np.asarray(comp["faces"])[:nf], expect)
+    assert np.asarray(comp["face_mask"])[:nf].all()
+    assert not np.asarray(comp["face_mask"])[nf:].any()
+
+    # gradients flow through the compacted verts
+    def loss(sdf):
+        out = marching_tets_compact(grid, sdf, vert_cap=4096,
+                                    face_cap=8192)
+        m = out["vert_mask"].astype(jnp.float32)
+        return jnp.sum(out["verts"][:, 2] * m) / jnp.clip(m.sum(), 1, None)
+
+    g = jax.grad(loss)(sdf)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+    # overflow: tiny caps truncate but stay valid
+    t = marching_tets_compact(grid, sdf, vert_cap=8, face_cap=8)
+    assert int(t["n_verts"]) == nv            # true count still reported
+    assert np.asarray(t["faces"]).max() < 8   # no out-of-cap indices
+    assert np.isfinite(np.asarray(t["verts"])).all()

@@ -260,3 +260,76 @@ def test_reference_pair_denoise():
     eps_b, _, _ = p1(m.unet_params, m.cn_params, lat, t, emb, None,
                      0.5, 3.0, ref_noisy=ref * 0.1)
     assert not np.allclose(np.asarray(eps), np.asarray(eps_b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_texture_pipeline_instruct_extras_and_cam_weights(tmp_path):
+    """Instruct retex: a third (ip2p) ControlNet conditioned on the source
+    renders must change the result (adapter3d.py:1096-1099); per-view
+    vonmises cam_weights reweight the fit loss (:1143-1150)."""
+    from mvedit_tpu.pipelines import TextureConfig, TexturePipeline
+    from mvedit_tpu.apis.cameras import surround_rig
+
+    key = jax.random.PRNGKey(0)
+    N, size = 2, 64
+    mesh = _sphere_mesh()
+    poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size,
+                               rng=np.random.default_rng(0))
+    embeds = jax.random.normal(jax.random.PRNGKey(7), (N, 8, 32)) * 0.1
+    cfg = TextureConfig(num_views=N, render_size=size, diffusion_steps=2,
+                        denoising_strength=1.0, n_inverse_steps=4,
+                        ingp=TINY_INGP)
+
+    m3 = _make_models(key, n_cn=3, hint_strides=1)
+    # break the ip2p net's zero-conv init so its residuals are nonzero
+    leaves, td = jax.tree_util.tree_flatten(m3.cn_params[2])
+    ks = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    m3.cn_params[2] = jax.tree_util.tree_unflatten(
+        td, [l + 0.02 * jax.random.normal(k, l.shape)
+             for l, k in zip(leaves, ks)])
+    out_i = TexturePipeline(m3, cfg)(
+        mesh, jnp.asarray(poses), jnp.asarray(intr), embeds, embeds,
+        jax.random.PRNGKey(1))
+    assert np.isfinite(out_i["mesh"].albedo).all()
+
+    # zeroing the extra net's effect (scale 0) must change the albedo
+    cfg0 = TextureConfig(num_views=N, render_size=size, diffusion_steps=2,
+                         denoising_strength=1.0, n_inverse_steps=4,
+                         extra_control_scale=0.0, ingp=TINY_INGP)
+    out_0 = TexturePipeline(m3, cfg0)(
+        mesh, jnp.asarray(poses), jnp.asarray(intr), embeds, embeds,
+        jax.random.PRNGKey(1))
+    assert not np.allclose(out_i["mesh"].albedo, out_0["mesh"].albedo,
+                           atol=1e-5)
+
+    # cam_weights path runs and stays finite
+    out_w = TexturePipeline(m3, cfg)(
+        mesh, jnp.asarray(poses), jnp.asarray(intr), embeds, embeds,
+        jax.random.PRNGKey(1), cam_weights=np.array([3.0, 0.5]))
+    assert np.isfinite(out_w["mesh"].albedo).all()
+
+
+@pytest.mark.slow
+def test_texture_pipeline_view_pruning():
+    """Progressive texture view pruning (mvedit_texture_pipeline.py:36,
+    358-383): the rig shrinks to min_num_views by the last step, with
+    keep_first_views protected."""
+    from mvedit_tpu.pipelines import TextureConfig, TexturePipeline
+    from mvedit_tpu.apis.cameras import surround_rig
+
+    key = jax.random.PRNGKey(0)
+    m = _make_models(key, hint_strides=1)
+    N, size = 5, 64
+    cfg = TextureConfig(num_views=N, render_size=size, diffusion_steps=4,
+                        denoising_strength=1.0, n_inverse_steps=2,
+                        min_num_views=2, keep_first_views=1,
+                        ingp=TINY_INGP)
+    mesh = _sphere_mesh()
+    poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size,
+                               rng=np.random.default_rng(0))
+    pipe = TexturePipeline(m, cfg)
+    embeds = jnp.zeros((N, 8, 32))
+    out = pipe(mesh, jnp.asarray(poses), jnp.asarray(intr), embeds, embeds,
+               jax.random.PRNGKey(1))
+    assert out["renders"].shape[0] == cfg.min_num_views
+    assert np.isfinite(out["mesh"].albedo).all()

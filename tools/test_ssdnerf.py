@@ -17,6 +17,13 @@ def main():
     ap.add_argument("--data", required=True)
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--num-scenes", type=int, default=8)
+    ap.add_argument("--recons-views", type=int, default=None,
+                    help="N>0: ignore cached codes and reconstruct each "
+                         "scene's code from its first N views via "
+                         "val_optim (the reference's reconsNv eval, "
+                         "configs/paper_cfgs/multiview_recons/); default "
+                         "from the config's train_config['recons_views']")
+    ap.add_argument("--recons-steps", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -34,17 +41,58 @@ def main():
     cfg = cfg_mod.ssdnerf_config
     dataset = ShapeNetSRN(args.data)
     state, step = CheckpointHook.load(args.work_dir)
-    cache = SceneCodeCache.load(
-        os.path.join(args.work_dir, "scene_cache.npz"))
-    print(f"eval at step {step}")
+    recons_views = args.recons_views
+    if recons_views is None:
+        recons_views = cfg_mod.train_config.get("recons_views", 0)
+    cache = None
+    if not recons_views:
+        cache = SceneCodeCache.load(
+            os.path.join(args.work_dir, "scene_cache.npz"))
+    print(f"eval at step {step}"
+          + (f", {recons_views}-view reconstruction" if recons_views
+             else ", cached codes"))
+
+    val_optim = None
+    if recons_views:
+        from mvedit_tpu.models.ssdnerf import make_val_optim
+        from mvedit_tpu.models.diffusion import schedulers as S
+        schedule = S.sd_schedule(prediction_type="v_prediction")
+        denoise_apply = None
+        if "denoiser" in state and hasattr(cfg_mod, "build_denoiser"):
+            _, denoise_apply, _ = cfg_mod.build_denoiser(
+                jax.random.PRNGKey(0))
+        val_optim = make_val_optim(
+            denoise_apply, cfg.triplane, cfg, schedule,
+            n_steps=args.recons_steps,
+            prior_weight=0.0 if denoise_apply is None else 1e-4)
 
     psnrs, ssims = [], []
     for i in range(min(args.num_scenes, len(dataset))):
         scene = dataset[i]
-        code = tanh_code(jnp.asarray(cache.codes[i], jnp.float32))
         h, w = scene["hw"]
-        pose = jnp.asarray(scene["poses"][:1])
-        intr = jnp.asarray(scene["intrinsics"][:1])
+        if recons_views:
+            # condition on the first N views; evaluate the next view
+            k = min(recons_views, len(scene["poses"]) - 1)
+            cro, crd = get_cam_rays(jnp.asarray(scene["poses"][:k]),
+                                    jnp.asarray(scene["intrinsics"][:k]),
+                                    h, w)
+            cond = {
+                "rays_o": cro.reshape(1, -1, 3),
+                "rays_d": crd.reshape(1, -1, 3),
+                "rgb": jnp.asarray(
+                    scene["images"][:k]).reshape(1, -1, 3),
+            }
+            code_raw, _ = val_optim(
+                state.get("denoiser"),
+                jnp.zeros((1, *cfg.latent_shape)), state["decoder"],
+                cond, jax.random.PRNGKey(i))
+            code = tanh_code(code_raw)[0]
+            eval_idx = k
+        else:
+            code = tanh_code(jnp.asarray(cache.codes[i], jnp.float32))
+            eval_idx = 0
+        pose = jnp.asarray(scene["poses"][eval_idx:eval_idx + 1])
+        intr = jnp.asarray(scene["intrinsics"][eval_idx:eval_idx + 1])
         ro, rd = get_cam_rays(pose, intr, h, w)
 
         def decode(x):
@@ -56,7 +104,7 @@ def main():
         out = render_rays(decode, ro.reshape(-1, 3), rd.reshape(-1, 3),
                           cfg.render, bg_color=1.0)
         img = np.asarray(out["rgb"]).reshape(h, w, 3)
-        gt = scene["images"][0]
+        gt = scene["images"][eval_idx]
         psnrs.append(float(eval_psnr(img[None], gt[None])[0]))
         ssims.append(eval_ssim(img, gt))
     print(f"PSNR {np.mean(psnrs):.2f}  SSIM {np.mean(ssims):.4f} "

@@ -51,21 +51,47 @@ def main():
     dataset = ShapeNetSRN(args.data,
                           caption_path=getattr(cfg_mod, "captions", None))
     print(f"dataset: {len(dataset)} scenes")
-    cache = SceneCodeCache(len(dataset), cfg.latent_shape)
+    # stage-2 recipes warm-start from a stage-1 scene-code cache
+    # (reference configs/paper_cfgs/stage2_cars_*.py load_cache)
+    init_cache = train_cfg.get("init_scene_cache")
+    if init_cache:
+        path = init_cache if os.path.isabs(init_cache) else \
+            os.path.join(args.work_dir, init_cache)
+        cache = SceneCodeCache.load(path)
+        print(f"loaded scene-code cache from {path}")
+    else:
+        cache = SceneCodeCache(len(dataset), cfg.latent_shape)
 
     key = jax.random.PRNGKey(args.seed)
     schedule = S.sd_schedule(prediction_type="v_prediction")
-    denoiser, denoise_apply, dparams = cfg_mod.build_denoiser(key)
+    # stage-1 auto-decoder recipes (reference MultiSceneNeRF,
+    # configs/paper_cfgs/stage1_cars_recons16v.py) train codes+decoder
+    # only — no denoiser
+    with_diffusion = not train_cfg.get("no_diffusion", False)
     decoder_params = triplane_init(key, cfg.triplane)
-    step_fn = make_train_step(denoise_apply, cfg.triplane, cfg, schedule)
-
     state = {
-        "denoiser": dparams,
-        "denoiser_opt": optax.adamw(cfg.denoiser_lr,
-                                    weight_decay=1e-2).init(dparams),
         "decoder": decoder_params,
         "decoder_opt": optax.adam(cfg.decoder_lr).init(decoder_params),
     }
+    if with_diffusion:
+        denoiser, denoise_apply, dparams = cfg_mod.build_denoiser(key)
+        state["denoiser"] = dparams
+        state["denoiser_opt"] = optax.adamw(
+            cfg.denoiser_lr, weight_decay=1e-2).init(dparams)
+    else:
+        denoise_apply = None
+    lpips_params = None
+    if train_cfg.get("use_lpips"):
+        # converted VGG weights land via tools/convert_weights.py; random
+        # init keeps the loss path live under zero egress
+        from mvedit_tpu.models.losses import lpips_init
+        lpips_params = lpips_init(jax.random.PRNGKey(7))
+    step_fn = make_train_step(denoise_apply, cfg.triplane, cfg, schedule,
+                              with_diffusion=with_diffusion,
+                              lpips_params=lpips_params,
+                              lpips_weight=train_cfg.get("lpips_weight",
+                                                         1.2),
+                              patch_size=train_cfg.get("patch_size"))
     start = 0
     if args.resume and os.path.exists(args.work_dir):
         restored, start = CheckpointHook.load(args.work_dir)
@@ -75,10 +101,21 @@ def main():
 
     B = train_cfg["batch_size"]
     data = ray_batch_iterator(dataset, B, cfg.n_rays, seed=args.seed,
-                              skip_iter=start)
+                              skip_iter=start,
+                              num_train_imgs=train_cfg.get(
+                                  "num_train_imgs"),
+                              patch_size=train_cfg.get("patch_size"))
+
+    # text conditioning (StableSSDNeRF): the config may provide
+    # make_cond_fn() -> (captions list -> (B, L, C) embeds)
+    cond_fn = getattr(cfg_mod, "make_cond_fn", None)
+    cond_fn = cond_fn() if cond_fn else None
 
     def wrapped_step(state, batch, k):
         ids = batch.pop("scene_ids")
+        caps = batch.pop("captions", None)
+        if cond_fn is not None and caps is not None:
+            batch["cond"] = cond_fn(caps)
         codes, m, v, steps = cache.gather(ids)
         state = dict(state, codes=codes, code_m=m, code_v=v,
                      code_steps=steps)
@@ -88,7 +125,8 @@ def main():
         return state, metrics
 
     hooks = [
-        EmaHook(keys=("denoiser",), interval=1),
+        *([EmaHook(keys=("denoiser",), interval=1)]
+          if with_diffusion else []),
         LogHook(args.work_dir, interval=train_cfg.get("log_interval", 50)),
         CheckpointHook(args.work_dir,
                        interval=train_cfg.get("ckpt_interval", 2000)),
