@@ -397,14 +397,24 @@ class Adapter3DRunner(EndpointsMixin):
     # endpoints
     # ------------------------------------------------------------------
 
-    def run_segmentation(self, images, seed=42):
+    def run_segmentation(self, images, seed=42, refine_fn=None,
+                         bg_color=None, erosion=0):
         """TRACER foreground masks. images: (N, H, W, 3) [0,1]
-        (adapter3d.py:720 run_segmentation)."""
+        (adapter3d.py:720 run_segmentation). refine_fn plugs in a
+        box-prompted refiner (the reference's optional SAM predictor,
+        pipelines/utils.py:109-133): refine_fn(image_uint8, bbox) ->
+        (H, W) mask; bg_color forces matching pixels foreground."""
         dec, params = self.load_tracer(seed=seed)
         from ..models.segmentors import tracer_segment
-        return tracer_segment(lambda p, x: dec.apply(p, x), params,
-                              jnp.asarray(images),
-                              input_size=64 if self.tiny else 640)
+        segment = lambda x: tracer_segment(  # noqa: E731
+            lambda p, xx: dec.apply(p, xx), params, x,
+            input_size=64 if self.tiny else 640)
+        if refine_fn is None and bg_color is None and erosion == 0:
+            return segment(jnp.asarray(images))
+        from ..pipelines.preproc import do_segmentation
+        return jnp.asarray(do_segmentation(
+            images, segment, refine_fn=refine_fn, bg_color=bg_color,
+            erosion=erosion))
 
     def load_tracer(self, seed=None):
         """TRACER-B7 through the checkpoint path (ref Carve/tracer_b7,

@@ -12,7 +12,7 @@ Rebuilds `lib/pipelines/utils.py`:
 import numpy as np
 
 __all__ = ["pad_rgba_image", "guided_filter", "refine_alpha",
-           "zero123plus_postprocess"]
+           "zero123plus_postprocess", "do_segmentation"]
 
 
 def pad_rgba_image(rgba, ratio=0.75):
@@ -93,3 +93,51 @@ def zero123plus_postprocess(grid_rgb, coarse_mask=None, is_normal=False,
             coarse_mask = np.clip(dev * 6.0 - 0.1, 0.0, 1.0)
         alpha = refine_alpha(grid_rgb, coarse_mask)
     return np.concatenate([grid_rgb, alpha[..., None]], axis=-1)
+
+
+def do_segmentation(images, segment_fn, refine_fn=None, bg_color=None,
+                    color_threshold=0.25, erosion=0):
+    """Foreground masking flow (`lib/pipelines/utils.py:73-153`
+    do_segmentation): TRACER-style masks -> optional background-color
+    override -> optional box-prompted refinement (the reference's SAM
+    predictor; any `refine_fn(image_uint8 (H,W,3), bbox (4,)) -> (H,W)
+    float mask` plugs in) -> erosion.
+
+    images: (N, H, W, 3) float [0,1]. Returns masks (N, H, W, 1) float.
+    """
+    import jax.numpy as jnp
+    images = np.asarray(images, np.float32)
+    masks = np.asarray(segment_fn(jnp.asarray(images)))
+    if masks.ndim == 3:
+        masks = masks[..., None]
+    if bg_color is not None:
+        bg = np.asarray(bg_color, np.float32)
+        non_fg = np.all((images >= bg - color_threshold)
+                        & (images <= bg + color_threshold), axis=-1)
+        masks[~non_fg] = 1.0
+    if refine_fn is not None:
+        out = []
+        for img, m in zip(images, masks):
+            mb = m[..., 0] > 0.5
+            xs = np.flatnonzero(mb.any(axis=0))
+            ys = np.flatnonzero(mb.any(axis=1))
+            if len(xs) == 0 or len(ys) == 0:
+                out.append(m)          # empty mask: nothing to prompt
+                continue
+            bbox = np.array([xs[0], ys[0], xs[-1] + 1, ys[-1] + 1])
+            refined = np.asarray(
+                refine_fn((img * 255).astype(np.uint8), bbox), np.float32)
+            if erosion > 0:
+                k = erosion
+                pad = np.pad(refined > 0.5, k, mode="edge")
+                er = np.ones_like(refined, bool)
+                for dy in range(-k, k + 1):
+                    for dx in range(-k, k + 1):
+                        er &= pad[k + dy: k + dy + refined.shape[0],
+                                  k + dx: k + dx + refined.shape[1]]
+                refined = er.astype(np.float32)
+            out.append(refined[..., None])
+        masks = np.stack(out)
+        if bg_color is not None:
+            masks[~non_fg] = 1.0
+    return masks

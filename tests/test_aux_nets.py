@@ -88,3 +88,43 @@ def test_pose_elev_estimation_synthetic():
         ref_poses.append(ref_pose)
     elev, pose = elev_estimation(matches, ref_poses, intr)
     assert abs(elev - true_elev) < 0.02
+
+
+def test_do_segmentation_refine_hook():
+    """do_segmentation (pipelines/utils.py:73-153 analog): bg-color
+    override + box-prompted refine_fn (SAM slot) + erosion."""
+    import numpy as np
+    from mvedit_tpu.pipelines.preproc import do_segmentation
+
+    H = W = 16
+    img = np.zeros((1, H, W, 3), np.float32)
+    img[0, 4:12, 4:12] = 0.8          # fg block on black bg
+
+    def segment_fn(x):
+        m = (np.asarray(x)[..., 0] > 0.5).astype(np.float32)
+        return m[..., None]
+
+    boxes = []
+
+    def refine_fn(image_uint8, bbox):
+        assert image_uint8.dtype == np.uint8
+        boxes.append(bbox)
+        m = np.zeros((H, W), np.float32)
+        m[bbox[1]:bbox[3], bbox[0]:bbox[2]] = 1.0
+        return m
+
+    masks = do_segmentation(img, segment_fn, refine_fn=refine_fn,
+                            erosion=1)
+    assert masks.shape == (1, H, W, 1)
+    np.testing.assert_array_equal(boxes[0], [4, 4, 12, 12])
+    # erosion shrinks the refined box by 1px on each side
+    assert masks[0, 5:11, 5:11, 0].min() == 1.0
+    assert masks[0, 4, 4, 0] == 0.0
+
+    # bg_color override: pixels NOT matching the bg color are forced
+    # foreground even when the segmenter misses them (utils.py:94-97)
+    miss_fn = lambda x: np.zeros(  # noqa: E731
+        (*np.asarray(x).shape[:3], 1), np.float32)
+    m2 = do_segmentation(img, miss_fn, bg_color=(0.0, 0.0, 0.0))
+    assert m2[0, 4:12, 4:12, 0].min() == 1.0   # fg block forced on
+    assert m2[0, 0, 0, 0] == 0.0               # true bg stays off

@@ -173,3 +173,46 @@ def test_two_stage_training_and_recons_eval(tmp_path):
         env=ENV, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "PSNR" in r.stdout
+
+
+def test_viewers_headless(tmp_path):
+    """SSDNeRFViewer GUI actions (generate/save/load/export) and
+    MeshViewer rendering work headlessly (role of the reference's
+    dearpygui ssdnerf_gui/mesh_gui)."""
+    import jax.numpy as jnp
+    from mvedit_tpu.apis.viewer import SSDNeRFViewer, MeshViewer
+    from mvedit_tpu.models.mesh import Mesh
+    from mvedit_tpu.utils.camera import intrinsics_from_fov
+
+    size = 16
+    intr = intrinsics_from_fov(40.0, size, size)
+
+    def sample_fn(prompt, negp, seed, steps, cfg_scale):
+        code = np.full((4,), float(seed), np.float32)
+
+        def render_fn(pose, intrinsics):
+            return np.full((size, size, 3), 0.25, np.float32)
+        return code, render_fn
+
+    def density_fn(xyz):
+        return 20.0 * (0.5 - jnp.linalg.norm(xyz, axis=-1))
+
+    v = SSDNeRFViewer(sample_fn, intr, density_fn=density_fn)
+    v.generate("a car", seed=3, steps=2)
+    assert v.code is not None
+    img = v.export_screenshot(str(tmp_path / "s.png"))
+    assert img.shape == (size, size, 3)
+    v.export_multi_view(str(tmp_path / "mv_{}.png"), num_views=2)
+    v.save_scene(str(tmp_path / "scene.npz"))
+    v2 = SSDNeRFViewer(sample_fn, intr)
+    code = v2.load_scene(str(tmp_path / "scene.npz"),
+                         lambda c: lambda pose, i: np.zeros((8, 8, 3)))
+    np.testing.assert_allclose(code, v.code)
+    mesh = v.export_mesh(str(tmp_path / "m.glb"), resolution=16,
+                         threshold=1.0)
+    assert len(mesh.f) > 0
+
+    mv = MeshViewer(mesh, render_size=32)
+    frame = mv.frame(0.3)
+    assert frame.shape == (32, 32, 3)
+    assert np.isfinite(frame).all()
