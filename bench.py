@@ -14,6 +14,7 @@ rounds while the pipeline cost is on record.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
+import argparse
 import json
 import time
 
@@ -142,5 +143,45 @@ def main():
     }))
 
 
+def main_sharded():
+    """--sharded: the same CFG denoise step pjit over ALL local devices
+    (view axis = 'dp', params replicated). On an N-chip slice the 2N-view
+    production batch shards N-per-... prints per-device and aggregate
+    steps/s; on one chip it degenerates to the single-device number (run
+    it on a pod slice for the scaling figure)."""
+    from mvedit_tpu.models.diffusion import (UNet2DCondition, SD15_UNET,
+                                             AttnMode)
+    from mvedit_tpu.parallel.sharded import (make_mesh,
+                                             make_sharded_denoise_step)
+    n_dev = len(jax.devices())
+    net = UNet2DCondition(SD15_UNET)
+    # production image-to-3D scale: 32 views x CFG = 64 images; shard dp
+    B = max(8 * n_dev, 16)
+    x = jnp.zeros((B, 64, 64, 4), jnp.float32)
+    t = jnp.full((B,), 500, jnp.int32)
+    ctx = jnp.zeros((B, 77, 768), jnp.float32)
+    params = jax.jit(lambda k: net.init(k, x[:1], t[:1], ctx[:1]))(
+        jax.random.PRNGKey(0))
+    params = _bf16(params)
+    mesh = make_mesh(n_dev)
+    step = make_sharded_denoise_step(net, mesh,
+                                     AttnMode(num_views=2), 7.5)
+    dt = _timeit(step, params, x, t, ctx, n=5)
+    print(json.dumps({
+        "metric": f"sharded CFG denoise steps/sec ({n_dev} devices, "
+                  f"{B} images, pair attention)",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "devices": n_dev,
+        "images_per_step": B,
+        "images_per_s": round(B / dt, 2),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sharded", action="store_true",
+                    help="pjit the denoise step over all local devices")
+    args = ap.parse_args()
+    main_sharded() if args.sharded else main()

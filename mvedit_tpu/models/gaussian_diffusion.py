@@ -65,7 +65,9 @@ def training_loss(schedule, denoise_fn, x0, t, noise, cond=None,
 def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
                       solver="dpmsolver", cond=None, uncond=None,
                       guidance_scale=1.0, use_karras=False,
-                      grad_guide_fn=None, guide_gain=1.0):
+                      grad_guide_fn=None, guide_gain=1.0,
+                      langevin_steps=0, langevin_delta=0.1,
+                      langevin_t_range=(0, None)):
     """Full sampling loop (jit the caller; the loop is a lax.scan over a
     static timestep table). denoise_fn(x, t_vec, cond) -> model out.
 
@@ -76,6 +78,11 @@ def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
     DiffusionNeRF.val_guide diffusion_nerf.py:240-315): at every step the
     x0 estimate takes a gradient-descent correction of the guide loss
     before re-deriving the model output.
+
+    langevin_steps > 0 adds K predictor-corrector Langevin updates before
+    each solver step while langevin_t_range[0] < t < langevin_t_range[1]
+    (`p_sample_langevin`, gaussian_diffusion.py:263-283):
+    x <- x - delta/2 * sigma * eps_hat + sqrt(delta) * sigma * z.
     """
     if use_karras:
         _, ts = S.karras_sigmas(schedule, num_steps)
@@ -85,8 +92,12 @@ def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
                                      "trailing")
     timesteps = jnp.asarray(timesteps, jnp.int32)
     t_prev = jnp.concatenate([timesteps[1:], jnp.asarray([-1], jnp.int32)])
-    x = jax.random.normal(key, shape)
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, shape)
     state = S.SolverState.init(shape)
+    lg_lo = langevin_t_range[0]
+    lg_hi = langevin_t_range[1] if langevin_t_range[1] is not None \
+        else schedule.num_train_timesteps - 1
 
     def model_out(x, t):
         t_vec = jnp.full((shape[0],), t, jnp.int32)
@@ -102,7 +113,24 @@ def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
 
     def step(carry, inp):
         x, state = carry
-        t, tp = inp
+        t, tp, k = inp
+        if langevin_steps > 0:
+            sa_l, sn_l = schedule.sqrt_acp(t)
+
+            def corr(i, xx):
+                o = model_out(xx, t)
+                if schedule.prediction_type == "v_prediction":
+                    eps = sa_l * o + sn_l * xx
+                else:
+                    eps = o
+                z = jax.random.normal(jax.random.fold_in(k, i), xx.shape)
+                return (xx - 0.5 * langevin_delta * sn_l * eps
+                        + jnp.sqrt(langevin_delta) * sn_l * z)
+
+            x = jax.lax.cond(
+                (t > lg_lo) & (t < lg_hi),
+                lambda xx: jax.lax.fori_loop(0, langevin_steps, corr, xx),
+                lambda xx: xx, x)
         out = model_out(x, t)
         if grad_guide_fn is not None:
             # x0-space gradient guidance: descend the guide loss on the
@@ -125,5 +153,7 @@ def sample_from_noise(schedule, denoise_fn, shape, key, num_steps=50,
             x, state = S.dpmsolver_step(schedule, x, out, t, tp, state)
         return (x, state), None
 
-    (x, _), _ = jax.lax.scan(step, (x, state), (timesteps, t_prev))
+    step_keys = jax.random.split(key, timesteps.shape[0])
+    (x, _), _ = jax.lax.scan(step, (x, state),
+                             (timesteps, t_prev, step_keys))
     return x

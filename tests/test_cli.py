@@ -216,3 +216,23 @@ def test_viewers_headless(tmp_path):
     frame = mv.frame(0.3)
     assert frame.shape == (32, 32, 3)
     assert np.isfinite(frame).all()
+
+
+def test_inception_stat_cli(tmp_path):
+    """tools/inception_stat.py writes {feats, mu, sigma} over a dataset
+    (reference tools/inception_stat.py analog)."""
+    data = str(tmp_path / "srn")
+    os.makedirs(data)
+    for i in range(2):
+        _make_srn_scene(data, f"scene{i}")
+    out = str(tmp_path / "stat.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "inception_stat.py"),
+         "--data", data, "--out", out, "--batch", "4",
+         "--views-per-scene", "2"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(out)
+    assert d["feats"].shape == (4, 2048)
+    assert d["mu"].shape == (2048,)
+    assert d["sigma"].shape == (2048, 2048)

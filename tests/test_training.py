@@ -239,3 +239,30 @@ def test_val_guide_and_val_optim():
                        jax.random.PRNGKey(1))
     assert code2.shape == code.shape
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_langevin_corrector_sampling():
+    """Langevin predictor-corrector steps (p_sample_langevin,
+    gaussian_diffusion.py:263-283): in-range steps perturb the
+    trajectory; out-of-range langevin is a no-op."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvedit_tpu.models import gaussian_diffusion as GD
+    from mvedit_tpu.models.diffusion import schedulers as S
+
+    schedule = S.sd_schedule(prediction_type="v_prediction")
+    denoise = lambda x, t, c: x * 0.05  # noqa: E731
+    shape = (2, 4, 8, 8)
+    key = jax.random.PRNGKey(0)
+    base = GD.sample_from_noise(schedule, denoise, shape, key,
+                                num_steps=4)
+    lang = GD.sample_from_noise(schedule, denoise, shape, key,
+                                num_steps=4, langevin_steps=2,
+                                langevin_delta=0.1)
+    off = GD.sample_from_noise(schedule, denoise, shape, key,
+                               num_steps=4, langevin_steps=2,
+                               langevin_t_range=(0, 1))
+    assert np.isfinite(np.asarray(lang)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(lang))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(off))
