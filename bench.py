@@ -21,6 +21,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent jit cache: repeated bench invocations skip the ~2-4 min
+# UNet/VAE compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def _timeit(fn, *args, n=10):
     # NOTE: block_until_ready does not synchronize through the axon tunnel;

@@ -5,6 +5,14 @@ takes its parameters positionally in this order (reference contract at
 `lib/core/webui/parameters.py:4-161`; reproduced as a data table for drop-in
 compatibility — gradio_client scripts written against the reference keep
 working).
+
+One deliberate divergence: `diff_bs` (the reference's UNet view
+micro-batch for CUDA VRAM, `app.py:36 --diff-bs 4`) is accepted for
+contract compatibility but intentionally unused — on TPU all views run
+as ONE fused batch (bigger MXU matmuls, no VRAM pressure at bf16), and
+memory scaling is handled by the view buckets + the device mesh instead.
+`render_bs`/`patch_bs` map to the fit loops' views-per-step and patch
+batch, which serve the same role natively.
 """
 from collections import OrderedDict
 

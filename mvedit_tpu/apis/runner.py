@@ -249,18 +249,29 @@ class Adapter3DRunner(EndpointsMixin):
                                mode=AttnMode(ip_tokens=num_tokens),
                                ip_context=ipc)["params"]
             m.unet_params = merge_params(full, m.unet_params)
-        img = jnp.asarray(image, jnp.float32)
-        if img.ndim == 3:
-            img = img[None]
-        img = jax.image.resize(
-            img, (1, vcfg.image_size, vcfg.image_size, 3), "bilinear")
         # CLIP normalization
         mean = jnp.asarray([0.4815, 0.4578, 0.4082])
         std = jnp.asarray([0.2686, 0.2613, 0.2758])
-        emb = vision.apply({"params": vp}, (img - mean) / std)
-        tok_c = proj.apply({"params": proj_params}, emb)
-        tok_u = proj.apply({"params": proj_params}, jnp.zeros_like(emb))
-        m.ip_context = jnp.concatenate([tok_u, tok_c], axis=0)
+
+        def ip_encode_fn(images):
+            """(N,H,W,3) [0,1] -> [uncond(N); cond(N)] ip tokens
+            (2N, T, C) — per-view image prompting (superres
+            get_prompt_embeds, mvedit_texture_superres_pipeline.py:62-87:
+            each view's own image is its prompt)."""
+            ims = jnp.asarray(images, jnp.float32)
+            if ims.ndim == 3:
+                ims = ims[None]
+            ims = jax.image.resize(
+                ims, (ims.shape[0], vcfg.image_size, vcfg.image_size, 3),
+                "bilinear")
+            emb = vision.apply({"params": vp}, (ims - mean) / std)
+            tok_c = proj.apply({"params": proj_params}, emb)
+            tok_u = proj.apply({"params": proj_params},
+                               jnp.zeros_like(emb))
+            return jnp.concatenate([tok_u, tok_c], axis=0)
+
+        m.ip_encode_fn = ip_encode_fn
+        m.ip_context = ip_encode_fn(image)
         return m.ip_context
 
     def load_matcher(self):

@@ -109,21 +109,31 @@ def _block(n, cap=1024):
 
 def _pallas_flash(q, k, v):
     """Tuned Pallas TPU flash attention (measured 3x faster than the
-    chunked scan at L=24576; bq1024/bk512 fits the 16MB VMEM)."""
+    chunked scan at L=24576). Block sizes follow a measured-on-v5e table
+    (PERF.md round-2 sweep): bq=2048 beats 1024 by 10-16% at the hot
+    shapes (L=4096/8192/24576, H=8, D=40); bk=1024 wins at L<=8192,
+    bk=512 at longer sequences (VMEM pressure)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention, BlockSizes)
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
-    bq = _block(Lq)
-    bk = _block(Lk)
-    if bq is None or bk is None or D > 128:
+    # bq=2048 only up to L=8192: at L=24576 it buys ~4% steady but
+    # inflates XLA compile from ~1 to ~11 minutes (measured)
+    bq = 2048 if (Lq % 2048 == 0 and Lq <= 8192) else _block(Lq)
+    bkM = 1024 if Lk % 1024 == 0 else _block(Lk)
+    if bq is None or bkM is None or D > 128:
         return None
-    sizes = BlockSizes(block_q=bq, block_k_major=bk,
-                       block_k=min(bk, 512), block_b=1,
-                       block_q_major_dkv=bq, block_k_major_dkv=bk,
-                       block_k_dkv=min(bk, 512), block_q_dkv=bq,
-                       block_k_major_dq=bk, block_k_dq=min(bk, 512),
-                       block_q_dq=bq)
+    bk = min(bkM, 1024 if Lq <= 8192 else 512)
+    # backward blocks stay <= 1024: the dkv pass keeps more operands
+    # resident in VMEM than the forward
+    bqb = min(bq, 1024)
+    bkb = min(bk, 512)
+    sizes = BlockSizes(block_q=bq, block_k_major=bkM,
+                       block_k=bk, block_b=1,
+                       block_q_major_dkv=bqb, block_k_major_dkv=bkM,
+                       block_k_dkv=bkb, block_q_dkv=bqb,
+                       block_k_major_dq=bkM, block_k_dq=bkb,
+                       block_q_dq=bqb)
     dt = q.dtype
     qt = jnp.moveaxis(q, 1, 2).astype(jnp.bfloat16)
     kt = jnp.moveaxis(k, 1, 2).astype(jnp.bfloat16)

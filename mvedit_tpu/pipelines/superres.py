@@ -69,9 +69,6 @@ class TextureSuperResPipeline:
                            ip_tokens=0 if ip_ctx is None
                            else int(ip_ctx.shape[1]))
         p1, p2 = make_noise_pred_2pass(dm)
-        ip2 = None if ip_ctx is None else jnp.concatenate(
-            [jnp.repeat(ip_ctx[:1], N, 0),
-             jnp.repeat(ip_ctx[1:2], N, 0)], axis=0)
 
         # frozen-mesh view geometry
         rc = RasterConfig(height=cfg.render_size, width=cfg.render_size)
@@ -101,6 +98,20 @@ class TextureSuperResPipeline:
             else:
                 init_renders = jnp.ones(
                     (N, cfg.render_size, cfg.render_size, 3))
+
+        # per-view image prompting: each view's own init render is its
+        # IP-Adapter prompt (ref get_prompt_embeds ipa_images=in_images,
+        # mvedit_texture_superres_pipeline.py:74-76); falls back to the
+        # shared [uncond; cond] context when no encoder hook is installed
+        ip_encode_fn = getattr(self.m, "ip_encode_fn", None)
+        if ip_ctx is not None and ip_encode_fn is not None:
+            ip2 = ip_encode_fn(init_renders)             # (2N, T, C)
+        elif ip_ctx is not None:
+            ip2 = jnp.concatenate(
+                [jnp.repeat(ip_ctx[:1], N, 0),
+                 jnp.repeat(ip_ctx[1:2], N, 0)], axis=0)
+        else:
+            ip2 = None
 
         timesteps = S.make_timesteps(cfg.diffusion_steps,
                                      sch.num_train_timesteps, "trailing")
