@@ -101,10 +101,13 @@ def lpips_init(key, dtype=jnp.float32):
 
 
 def _vgg_features(params, x):
-    """x: (N, H, W, 3) normalized. Returns list of tap activations (NHWC)."""
+    """x: (N, H, W, 3) normalized. Returns list of tap activations (NHWC).
+
+    Computes in the params' dtype: the runner stores inference params in
+    bf16 and lax.conv requires matching operand dtypes."""
     feats = []
     conv_i = 0
-    h = x
+    h = x.astype(params["convs"][0]["w"].dtype)
     for v in _VGG16_CFG:
         if v == "M":
             h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["EmaHook", "CheckpointHook", "LogHook", "ModelUpdaterHook",
-           "Trainer"]
+           "EvalHook", "Trainer"]
 
 
 class Hook:
@@ -140,6 +140,41 @@ class LogHook(Hook):
             f.write(json.dumps(row) + "\n")
         print(f"[{trainer.step}] " + " ".join(
             f"{k}={v:.4g}" for k, v in row.items() if k != "step"))
+
+
+class EvalHook(Hook):
+    """Periodic held-out evaluation during SSDNeRF training (the
+    reference's GenerativeEvalHook3D role, lib/runner/hooks/: render views
+    from the current codes + decoder and log PSNR/SSIM into the metrics
+    JSONL).
+
+    eval_fn(state, step) -> dict of scalar metrics; typically closes over
+    a scene-code cache + dataset and renders the first K scenes' view 0
+    (see tools/train_ssdnerf.py --eval-interval).
+    """
+
+    def __init__(self, eval_fn, out_dir, interval=2000):
+        self.eval_fn = eval_fn
+        self.interval = interval
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "eval.jsonl")
+
+    def after_iter(self, trainer, metrics):
+        if trainer.step % self.interval:
+            return
+        self._run(trainer)
+
+    def after_run(self, trainer):
+        self._run(trainer)
+
+    def _run(self, trainer):
+        out = {k: float(v)
+               for k, v in self.eval_fn(trainer.state, trainer.step).items()}
+        row = {"step": trainer.step, **out}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"[eval @{trainer.step}] " + " ".join(
+            f"{k}={v:.4g}" for k, v in out.items()))
 
 
 class ModelUpdaterHook(Hook):

@@ -236,3 +236,39 @@ def test_inception_stat_cli(tmp_path):
     assert d["feats"].shape == (4, 2048)
     assert d["mu"].shape == (2048,)
     assert d["sigma"].shape == (2048, 2048)
+
+
+def test_train_eval_hook(tmp_path):
+    """--eval-interval logs held-out PSNR to eval.jsonl during training
+    (GenerativeEvalHook3D role)."""
+    data = str(tmp_path / "srn")
+    os.makedirs(data)
+    for i in range(4):
+        _make_srn_scene(data, f"scene{i}")
+    with open(os.path.join(REPO, "configs", "ssdnerf_cars.py")) as f:
+        src = f.read()
+    for a, b in (("code_shape=(3, 16, 80, 80)", "code_shape=(3, 16, 8, 8)"),
+                 ("latent_shape=(3, 12, 40, 40)",
+                  "latent_shape=(3, 12, 8, 8)"),
+                 ("num_samples=96", "num_samples=8"),
+                 ("n_rays=4096", "n_rays=32"),
+                 ("batch_size=4", "batch_size=2"),
+                 ('jnp.zeros((1, 3, 12, 40, 40))',
+                  'jnp.zeros((1, 3, 12, 8, 8))'),
+                 ("ch: int = 128", "ch: int = 32")):
+        src = src.replace(a, b)
+    cfg = str(tmp_path / "cfg.py")
+    with open(cfg, "w") as f:
+        f.write(src)
+    work = str(tmp_path / "work")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_ssdnerf.py"),
+         "--config", cfg, "--data", data, "--work-dir", work,
+         "--max-iters", "2", "--eval-interval", "2",
+         "--eval-scenes", "1"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+    rows = [_json.loads(l) for l in
+            open(os.path.join(work, "eval.jsonl"))]
+    assert rows and "psnr" in rows[0]

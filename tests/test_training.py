@@ -266,3 +266,22 @@ def test_langevin_corrector_sampling():
     assert np.isfinite(np.asarray(lang)).all()
     assert not np.allclose(np.asarray(base), np.asarray(lang))
     np.testing.assert_allclose(np.asarray(base), np.asarray(off))
+
+
+def test_lpips_bf16_params():
+    """lpips works with bf16 inference params + fp32 inputs (the runner
+    stores all inference params bf16; caught by the full-scale run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvedit_tpu.models.losses import lpips_init, lpips_apply
+    p = lpips_init(jax.random.PRNGKey(0))
+    p = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, p)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    d = lpips_apply(p, a, b)
+    assert np.isfinite(float(d))
+    g = jax.grad(lambda x: lpips_apply(p, x, b))(a)
+    assert np.isfinite(np.asarray(g)).all()

@@ -31,10 +31,15 @@ def main():
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="N>0: log held-out PSNR every N iters "
+                         "(GenerativeEvalHook3D role)")
+    ap.add_argument("--eval-scenes", type=int, default=4)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
     from mvedit_tpu.datasets import ShapeNetSRN, ray_batch_iterator
     from mvedit_tpu.models.ssdnerf import (SceneCodeCache, make_train_step,
@@ -42,7 +47,7 @@ def main():
     from mvedit_tpu.models.triplane import triplane_init
     from mvedit_tpu.models.diffusion import schedulers as S
     from mvedit_tpu.runner.trainer import (Trainer, EmaHook, CheckpointHook,
-                                           LogHook)
+                                           LogHook, EvalHook)
 
     cfg_mod = load_config(args.config)
     cfg: SSDNeRFConfig = cfg_mod.ssdnerf_config
@@ -131,6 +136,40 @@ def main():
         CheckpointHook(args.work_dir,
                        interval=train_cfg.get("ckpt_interval", 2000)),
     ]
+    if args.eval_interval:
+        from mvedit_tpu.models.ssdnerf import tanh_code
+        from mvedit_tpu.models.triplane import triplane_point_decode
+        from mvedit_tpu.models.volume_renderer import render_rays
+        from mvedit_tpu.utils.geometry import get_cam_rays
+        from mvedit_tpu.utils.evaluation import eval_psnr
+
+        def eval_fn(state, step):
+            psnrs = []
+            for i in range(min(args.eval_scenes, len(dataset))):
+                scene = dataset[i]
+                code = tanh_code(jnp.asarray(cache.codes[i], jnp.float32))
+                h, w = scene["hw"]
+                ro, rd = get_cam_rays(
+                    jnp.asarray(scene["poses"][:1]),
+                    jnp.asarray(scene["intrinsics"][:1]), h, w)
+
+                def decode(x):
+                    s, c2 = triplane_point_decode(
+                        state["decoder"], code, x.reshape(-1, 3), None,
+                        cfg.triplane)
+                    return (s.reshape(x.shape[:-1]),
+                            c2.reshape(*x.shape[:-1], 3))
+
+                out = render_rays(decode, ro.reshape(-1, 3),
+                                  rd.reshape(-1, 3), cfg.render,
+                                  bg_color=1.0)
+                img = np.asarray(out["rgb"]).reshape(h, w, 3)
+                psnrs.append(float(eval_psnr(
+                    img[None], scene["images"][:1])[0]))
+            return {"psnr": float(np.mean(psnrs))}
+
+        hooks.append(EvalHook(eval_fn, args.work_dir,
+                              interval=args.eval_interval))
     trainer = Trainer(wrapped_step, state, data, hooks, key=key)
     trainer.step = start
     trainer.run(args.max_iters or train_cfg["max_iters"])
