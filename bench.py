@@ -188,5 +188,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sharded", action="store_true",
                     help="pjit the denoise step over all local devices")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax profiler trace of the run")
     args = ap.parse_args()
-    main_sharded() if args.sharded else main()
+    run = main_sharded if args.sharded else main
+    if args.profile:
+        from mvedit_tpu.utils.profiling import trace
+        with trace(args.profile):
+            run()
+    else:
+        run()

@@ -1,3 +1,3 @@
-from . import camera, geometry
+from . import camera, geometry, profiling
 
-__all__ = ["camera", "geometry"]
+__all__ = ["camera", "geometry", "profiling"]
