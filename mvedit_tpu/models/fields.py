@@ -23,7 +23,8 @@ from ..ops.dense_grid import (DenseGridConfig, dense_grid_encode,
                               dense_grid_init)
 
 __all__ = ["mlp_init", "mlp_apply", "INGPConfig", "ingp_init",
-           "ingp_point_decode", "ingp_density"]
+           "ingp_point_decode", "ingp_density", "FieldColor",
+           "FieldShading"]
 
 
 def mlp_init(key, dims, dtype=jnp.float32):
@@ -116,3 +117,33 @@ def ingp_point_decode(params, xyz, cfg: INGPConfig):
 def ingp_density(params, xyz, cfg: INGPConfig):
     sigma, _ = ingp_point_decode(params, xyz, cfg)
     return sigma
+
+
+class FieldColor:
+    """Hashable-by-config albedo callback `fn(params, xyz) -> rgb` for
+    top-level jitted renderers (render_views / bake_texture): the field
+    params ride as TRACED arguments, never as closure constants — a
+    closure with a value-blind hash would bake params into the compiled
+    binary (duplicate HBM) and silently reuse stale values on jit cache
+    hits."""
+
+    def __init__(self, cfg: INGPConfig):
+        self.cfg = cfg
+
+    def __call__(self, params, xyz):
+        return ingp_point_decode(params, xyz, self.cfg)[1]
+
+    def __hash__(self):
+        return hash(self.cfg)
+
+    def __eq__(self, other):
+        return isinstance(other, FieldColor) and other.cfg == self.cfg
+
+
+class FieldShading(FieldColor):
+    """render_views shading_fun form of FieldColor (ignores normal and
+    view direction — the MVEdit albedo field is lambertian-composited by
+    the caller)."""
+
+    def __call__(self, params, xyz, normal, view_dir):
+        return ingp_point_decode(params, xyz, self.cfg)[1]

@@ -52,14 +52,19 @@ def pose_to_w2c(pose_c2w):
 @partial(jax.jit, static_argnames=("cfg", "shading_fun", "ssaa"))
 def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
                  cfg: RasterConfig, shading_fun=None, ssaa=1,
-                 bg_color=1.0, vert_attrs=None):
+                 bg_color=1.0, vert_attrs=None, shading_params=None):
     """Render N views of one triangle soup.
 
     Args:
         verts: (V, 3) world vertices; faces: (F, 3); face_mask: (F,) bool.
         poses_c2w: (N, 3, 4); intrinsics: (N, 4) at target resolution.
-        shading_fun: optional (xyz (..., 3), normal (..., 3),
-            view_dir (..., 3)) -> rgb; closes over field params.
+        shading_fun: optional rgb callback. Preferred form takes
+            (shading_params, xyz, normal, view_dir) with `shading_params`
+            passed as the TRACED kwarg below; the legacy closure form
+            (xyz, normal, view_dir) is kept for in-jit callers. NEVER pass
+            a top-level closure over device arrays with a value-blind
+            hash: jit would bake the arrays in as constants (HBM copies)
+            and silently reuse STALE values on cache hits.
         vert_attrs: optional dict of (V, C) attributes to interpolate.
     Returns dict of (N, H, W, ...): rgb (if shading_fun), xyz, normal,
         depth, alpha, alpha_hard + interpolated vert_attrs.
@@ -92,7 +97,9 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
             view_dir = xyz - cam_pos
             view_dir = view_dir / jnp.clip(
                 jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12, None)
-            rgb = shading_fun(xyz, nrm, view_dir)
+            rgb = shading_fun(shading_params, xyz, nrm, view_dir) \
+                if shading_params is not None \
+                else shading_fun(xyz, nrm, view_dir)
             a = rast["alpha"][..., None]
             # degenerate extractions (empty tet surface) leave NaN verts ->
             # NaN xyz -> NaN shading; NaN * 0 alpha still poisons the
@@ -115,8 +122,10 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
 
 @partial(jax.jit, static_argnames=("cfg", "field_fn"))
 def bake_texture(verts, faces, face_mask, uvs, uv_faces, field_fn,
-                 cfg: RasterConfig):
-    """Bake `field_fn(xyz) -> rgb` into a UV atlas.
+                 cfg: RasterConfig, field_params=None):
+    """Bake `field_fn(xyz) -> rgb` into a UV atlas (preferred:
+    `field_fn(field_params, xyz)` with field_params as the traced kwarg —
+    see render_views' shading_params note on stale-constant closures).
 
     Rasterizes the mesh in UV space: screen positions = (u, v) * atlas size,
     z = 1; per-texel world xyz comes from interpolating `verts` with the UV
@@ -138,7 +147,8 @@ def bake_texture(verts, faces, face_mask, uvs, uv_faces, field_fn,
     v = rast["bary"][..., 1:2]
     xyz = (verts[f_world[..., 0]] * (1 - u - v)
            + verts[f_world[..., 1]] * u + verts[f_world[..., 2]] * v)
-    rgb = field_fn(xyz)
+    rgb = field_fn(field_params, xyz) if field_params is not None \
+        else field_fn(xyz)
     mask = (rast["tri_id"] >= 0).astype(jnp.float32)
     rgb = jnp.where(mask[..., None] > 0, rgb, 0.0)  # NaN * 0 guard
     return rgb, mask

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.diffusion import schedulers as S
-from ..models.fields import INGPConfig, ingp_init, ingp_point_decode
+from ..models.fields import (INGPConfig, ingp_init,
+                             ingp_point_decode, FieldColor)
 from ..models.volume_renderer import RenderConfig, OccupancyGrid
 from ..models import nerf_fit as NF
 from ..models import mesh_fit as MF
@@ -68,25 +69,6 @@ def _ingp_decode(params, xyz, ingp_cfg):
 
 def _ingp_color(params, xyz, ingp_cfg):
     return ingp_point_decode(params, xyz, ingp_cfg)[1]
-
-
-class _FieldShading:
-    """Hashable shading callback: equality by config so jitted renderers
-    cache across timesteps while params update by closure."""
-
-    def __init__(self, params, ingp_cfg):
-        self.params = params
-        self.ingp_cfg = ingp_cfg
-
-    def __call__(self, xyz, normal, view_dir):
-        return ingp_point_decode(self.params, xyz, self.ingp_cfg)[1]
-
-    def __hash__(self):
-        return hash(self.ingp_cfg)
-
-    def __eq__(self, other):
-        return isinstance(other, _FieldShading) \
-            and other.ingp_cfg == self.ingp_cfg
 
 
 # ---- progress schedules (mvedit_3d_pipeline.py:41-78) --------------------
@@ -739,13 +721,18 @@ class MVEdit3DPipeline:
                 "alpha": jnp.stack([o["alpha"] for o in outs])[..., None],
             }
         mt = last_mt
-        shading_fun = _FieldShading(mesh_state["field"], cfg.ingp)
+        from ..models.fields import FieldShading
+        shading_fun = FieldShading(cfg.ingp)
         rc = self._mesh_raster_cfg(rs)
         # one view per call: vmapping all N views multiplies the raster
-        # working set N-fold and OOMs at 512^2
+        # working set N-fold and OOMs at 512^2. Field params ride as the
+        # TRACED shading_params arg — the old closure form baked them in
+        # as per-program constants (HBM duplicates) and reused stale
+        # values on jit cache hits.
         outs = [render_views(mt["verts"], mt["faces"], mt["face_mask"],
                              tgt["poses"][i:i + 1], intr[i:i + 1], rc,
-                             shading_fun=shading_fun)
+                             shading_fun=shading_fun,
+                             shading_params=mesh_state["field"])
                 for i in range(N)]
         return {"rgb": jnp.concatenate([o["rgb"] for o in outs]),
                 "depth": jnp.concatenate([o["depth"] for o in outs]),
@@ -812,7 +799,7 @@ class MVEdit3DPipeline:
             jnp.asarray(mesh.v), jnp.asarray(mesh.f),
             jnp.ones((len(mesh.f),), bool), jnp.asarray(mesh.vt),
             jnp.asarray(mesh.ft),
-            partial(_ingp_color, field, ingp_cfg=cfg.ingp), acfg)
+            FieldColor(cfg.ingp), acfg, field_params=field)
         rgb = edge_dilation(rgb, mask, n_iters=16)
         mesh.albedo = np.asarray(jnp.clip(rgb, 0, 1))
         return mesh

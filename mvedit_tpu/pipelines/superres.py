@@ -172,11 +172,12 @@ class TextureSuperResPipeline:
             out_mesh.auto_uv()
         acfg = RasterConfig(height=cfg.atlas_size, width=cfg.atlas_size,
                             tile=32, k_per_tile=64, k_big=32)
+        from ..models.fields import FieldColor
         rgb, mask = bake_texture(
             jnp.asarray(out_mesh.v), jnp.asarray(out_mesh.f),
             jnp.ones((len(out_mesh.f),), bool), jnp.asarray(out_mesh.vt),
             jnp.asarray(out_mesh.ft),
-            lambda xyz: color_fn(params, xyz), acfg)
+            FieldColor(cfg.ingp), acfg, field_params=params)
         rgb = edge_dilation(rgb, mask, n_iters=8)
         new_albedo = np.asarray(jnp.clip(rgb, 0, 1))
         if mesh.albedo is not None \

@@ -358,11 +358,12 @@ class TexturePipeline:
             out_mesh.auto_uv()
         acfg = RasterConfig(height=1024, width=1024, tile=16,
                             k_per_tile=64, k_big=32)
+        from ..models.fields import FieldColor
         rgb, mask = bake_texture(
             jnp.asarray(out_mesh.v), jnp.asarray(out_mesh.f),
             jnp.ones((len(out_mesh.f),), bool), jnp.asarray(out_mesh.vt),
             jnp.asarray(out_mesh.ft),
-            lambda xyz: color_fn(params, xyz), acfg)
+            FieldColor(cfg.ingp), acfg, field_params=params)
         rgb = edge_dilation(rgb, mask, n_iters=16)
         out_mesh.albedo = np.asarray(jnp.clip(rgb, 0, 1))
         return {"mesh": out_mesh, "field_params": params,
