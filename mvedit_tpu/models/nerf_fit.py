@@ -325,6 +325,21 @@ def make_nerf_fit(point_decode_fn: Callable, cfg: NerfFitConfig,
 _RENDERER_CACHE = {}
 
 
+def clear_renderer_cache(height=None):
+    """Drop cached image renderers AND their compiled executables.
+
+    Compiled TPU programs occupy HBM (a loaded executable also reserves
+    its temp arena); the MVEdit pipeline calls this at render-size ramp
+    steps (height=old size) and at the NeRF->DMTet switch (all), where the
+    stale-size volume renderers will never run again but would otherwise
+    crowd out later programs."""
+    for key in [k for k in _RENDERER_CACHE
+                if height is None or k[1] == height]:
+        fn = _RENDERER_CACHE.pop(key)
+        if hasattr(fn, "clear_cache"):
+            fn.clear_cache()
+
+
 def make_image_renderer(point_decode_fn, h, w, cfg: RenderConfig,
                         chunk=65536, bg_color=1.0, use_grid=True):
     """Build (and cache) a jitted full-frame renderer.

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..models.diffusion import AttnMode
 from ..models.diffusion.controlnet import apply_multi_controlnet
 
-__all__ = ["DenoiseModels", "make_noise_pred_1pass", "make_noise_pred_2pass"]
+__all__ = ["DenoiseModels", "make_noise_pred_1pass", "make_noise_pred_2pass",
+           "make_chunked_noise_pred_1pass", "make_chunked_noise_pred_2pass"]
 
 
 @dataclass(frozen=True)
@@ -264,3 +265,195 @@ def make_noise_pred_2pass(models: DenoiseModels):
         return _cfg_combine(eps, guidance_scale)
 
     return jax.jit(p1), jax.jit(p2)
+
+
+# ---------------------------------------------------------------------------
+# diff_bs view chunking (the reference's --diff-bs, app.py:36; per-batch
+# loops in adapter3d_mixin.py get_noise_pred*). In use_reference mode the
+# UNet has NO cross-view attention (uncond runs per-view, cond as
+# [ref, target] pairs), so splitting the view axis into chunks of diff_bs
+# is EXACT — and operationally critical on TPU: a loaded executable
+# permanently reserves its temp arena in HBM, so one bounded-size UNet
+# program (reused for every chunk and every view-bucket size, no
+# recompiles at bucket changes) replaces per-bucket whole-batch programs
+# whose arenas crowd out the mesh-phase rasterizer.
+# ---------------------------------------------------------------------------
+
+def _pad_rows(x, n):
+    return x if n == 0 else jnp.concatenate(
+        [x, jnp.repeat(x[-1:], n, axis=0)], axis=0)
+
+
+def _take_views(x, N, i, b):
+    """Rows i:i+b of a per-view (N, ...) array, padded up to b."""
+    sl = x[i:min(i + b, N)]
+    return _pad_rows(sl, b - sl.shape[0])
+
+
+def _take_cfg(x, N, i, b):
+    """(2N, ...) CFG batch [uncond; cond] -> (2b, ...) chunk."""
+    return jnp.concatenate(
+        [_take_views(x[:N], N, i, b), _take_views(x[N:], N, i, b)], axis=0)
+
+
+def _take_pairs(x, N, i, b):
+    """(2N, ...) pair-interleaved [r0,t0,r1,t1,...] -> (2b, ...) chunk."""
+    y = x.reshape(N, 2, *x.shape[1:])
+    return _take_views(y, N, i, b).reshape(2 * b, *x.shape[1:])
+
+
+def _cat_views(chunks, N):
+    return jnp.concatenate(chunks, axis=0)[:N]
+
+
+def _cat_cfg(chunks, N, b):
+    u = jnp.concatenate([c[:b] for c in chunks], axis=0)[:N]
+    c_ = jnp.concatenate([c[b:] for c in chunks], axis=0)[:N]
+    return jnp.concatenate([u, c_], axis=0)
+
+
+def _cat_pairs(chunks, N):
+    out = jnp.concatenate(
+        [c.reshape(-1, 2, *c.shape[1:]) for c in chunks], axis=0)[:N]
+    return out.reshape(2 * N, *out.shape[2:])
+
+
+def _tree(fn, tree):
+    return None if tree is None else jax.tree_util.tree_map(fn, tree)
+
+
+def _tree_cat(fn_cat, chunk_trees):
+    if chunk_trees[0] is None:
+        return None
+    return jax.tree_util.tree_map(lambda *xs: fn_cat(list(xs)), *chunk_trees)
+
+
+def chunk_view_batches(fn, diff_bs):
+    """Wrap fn(params, x) so x's leading (view) axis is processed diff_bs
+    rows per call; remainders are padded up to one chunk so exactly one
+    executable per chunk shape exists (used for the 512^2 VAE passes)."""
+    b = int(diff_bs)
+
+    def run(params, x):
+        n = x.shape[0]
+        if b <= 0 or n <= b:
+            return fn(params, x)
+        outs = [fn(params, x[i:i + b]) for i in range(0, (n // b) * b, b)]
+        r = n % b
+        if r:
+            outs.append(fn(params, _pad_rows(x[n - r:], b - r))[:r])
+        return jnp.concatenate(outs, axis=0)
+    return run
+
+
+def make_chunked_noise_pred_1pass(models: DenoiseModels, diff_bs: int):
+    """1-pass noise pred with the view axis processed diff_bs at a time.
+
+    Exact only in use_reference mode (chunking would break all-view joint
+    attention); falls through to the whole-batch path otherwise.
+    """
+    full = make_noise_pred_1pass(models)
+    b = int(diff_bs)
+
+    def noise_pred(unet_params, cn_params, latents, t, embeds, cond_images,
+                   cn_scales, guidance_scale, ip_context=None,
+                   ref_noisy=None):
+        N = latents.shape[0] // 2
+        if ref_noisy is None or not models.use_reference or N <= b:
+            return full(unet_params, cn_params, latents, t, embeds,
+                        cond_images, cn_scales, guidance_scale,
+                        ip_context=ip_context, ref_noisy=ref_noisy)
+        outs = []
+        for i in range(0, N, b):
+            outs.append(full(
+                unet_params, cn_params, _take_cfg(latents, N, i, b),
+                _take_cfg(t, N, i, b), _take_cfg(embeds, N, i, b),
+                [_take_cfg(ci, N, i, b) for ci in cond_images], cn_scales,
+                guidance_scale,
+                ip_context=None if ip_context is None
+                else _take_cfg(ip_context, N, i, b),
+                ref_noisy=_take_views(ref_noisy, N, i, b)))
+        return _cat_views(outs, N)
+
+    return noise_pred
+
+
+def make_chunked_noise_pred_2pass(models: DenoiseModels, diff_bs: int):
+    """(p1, p2) with the view axis processed diff_bs at a time.
+
+    Chunk outputs are reassembled into the same canonical layouts the
+    whole-batch functions produce — eps (N, ...), enc_state
+    (per-view tree, pair-interleaved tree), p1_residuals (2N CFG trees) —
+    so p1/p2 remain drop-in interchangeable with the unchunked pair.
+    Exact only in use_reference mode; falls through otherwise.
+    """
+    p1_full, p2_full = make_noise_pred_2pass(models)
+    b = int(diff_bs)
+
+    def p1(unet_params, cn_params, latents, t, embeds, depth_images,
+           depth_scale, guidance_scale, ip_context=None,
+           extra_images=(), extra_scales=(), ref_noisy=None):
+        N = latents.shape[0] // 2
+        if ref_noisy is None or not models.use_reference or N <= b:
+            return p1_full(unet_params, cn_params, latents, t, embeds,
+                           depth_images, depth_scale, guidance_scale,
+                           ip_context=ip_context, extra_images=extra_images,
+                           extra_scales=extra_scales, ref_noisy=ref_noisy)
+        eps_ch, enc_u_ch, enc_c_ch, downs_ch, mid_ch = [], [], [], [], []
+        for i in range(0, N, b):
+            eps_i, (enc_u, enc_c), (downs, mid) = p1_full(
+                unet_params, cn_params, _take_cfg(latents, N, i, b),
+                _take_cfg(t, N, i, b), _take_cfg(embeds, N, i, b),
+                None if depth_images is None
+                else _take_cfg(depth_images, N, i, b),
+                depth_scale, guidance_scale,
+                ip_context=None if ip_context is None
+                else _take_cfg(ip_context, N, i, b),
+                extra_images=tuple(_take_cfg(e, N, i, b)
+                                   for e in extra_images),
+                extra_scales=extra_scales,
+                ref_noisy=_take_views(ref_noisy, N, i, b))
+            eps_ch.append(eps_i)
+            enc_u_ch.append(enc_u)
+            enc_c_ch.append(enc_c)
+            downs_ch.append(downs)
+            mid_ch.append(mid)
+        eps = _cat_views(eps_ch, N)
+        enc_state = (_tree_cat(lambda xs: _cat_views(xs, N), enc_u_ch),
+                     _tree_cat(lambda xs: _cat_pairs(xs, N), enc_c_ch))
+        p1_res = (_tree_cat(lambda xs: _cat_cfg(xs, N, b), downs_ch),
+                  _tree_cat(lambda xs: _cat_cfg(xs, N, b), mid_ch))
+        return eps, enc_state, p1_res
+
+    def p2(unet_params, cn_params, latents, enc_state, p1_residuals, t,
+           embeds, tile_images, depth_images, tile_scale, depth_scale,
+           guidance_scale, ip_context=None, ref_noisy=None):
+        N = latents.shape[0] // 2
+        if ref_noisy is None or not models.use_reference or N <= b:
+            return p2_full(unet_params, cn_params, latents, enc_state,
+                           p1_residuals, t, embeds, tile_images,
+                           depth_images, tile_scale, depth_scale,
+                           guidance_scale, ip_context=ip_context,
+                           ref_noisy=ref_noisy)
+        enc_u, enc_c = enc_state
+        downs, mid = p1_residuals
+        outs = []
+        for i in range(0, N, b):
+            enc_i = (_tree(lambda x: _take_views(x, N, i, b), enc_u),
+                     _tree(lambda x: _take_pairs(x, N, i, b), enc_c))
+            res_i = (_tree(lambda x: _take_cfg(x, N, i, b), downs),
+                     _tree(lambda x: _take_cfg(x, N, i, b), mid))
+            outs.append(p2_full(
+                unet_params, cn_params, _take_cfg(latents, N, i, b),
+                enc_i, res_i, _take_cfg(t, N, i, b),
+                _take_cfg(embeds, N, i, b),
+                _take_cfg(tile_images, N, i, b),
+                None if depth_images is None
+                else _take_cfg(depth_images, N, i, b),
+                tile_scale, depth_scale, guidance_scale,
+                ip_context=None if ip_context is None
+                else _take_cfg(ip_context, N, i, b),
+                ref_noisy=_take_views(ref_noisy, N, i, b)))
+        return _cat_views(outs, N)
+
+    return p1, p2

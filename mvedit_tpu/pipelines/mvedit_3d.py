@@ -137,6 +137,20 @@ class MVEdit3DConfig:
     tet_resolution: int = 64
     patch_size: int = 128
     patch_bs: int = 1
+    # largest image-space batch run as ONE program (the reference's
+    # --diff-bs role, app.py:36). On TPU the UNet stays whole (refpair
+    # batching is where the MXU pays) but the 512^2 VAE passes are
+    # chunked: a loaded TPU executable permanently reserves its temp
+    # arena in HBM, and a 32-view VAE decode arena alone crowds out the
+    # mesh-phase raster programs
+    diff_bs: int = 8
+    # max lax.scan length per fit PROGRAM: single-program device runtime
+    # must stay bounded (the tunneled device kills executions after
+    # ~10 min with UNAVAILABLE; a 120-step tet-128 mesh fit is ~14 min).
+    # n_steps fits run as ceil(n/L) chained calls of one donated-buffer
+    # program — which also deduplicates compiles (tet-init 120 and
+    # per-step 80 share the same 8-step program). 0 = unchunked.
+    fit_steps_per_program: int = 8
     blend_mode: str = "dynamic"      # blend_weight = 1 - sqrt(acp)
     # progress schedules (:60-78); entropy_d = entropy bg_width
     start_lr: float = 0.01
@@ -182,6 +196,23 @@ class MVEdit3DConfig:
         return tuple(sorted({max(self.render_size // 4, self.patch_size),
                              max(self.render_size // 2, self.patch_size),
                              self.render_size}))
+
+
+def _mem_debug(tag):
+    """MVEDIT_DEBUG_MEM=1: print live device-array residency (works through
+    the axon tunnel where device.memory_stats() returns {}) plus whatever
+    allocator stats the backend does expose."""
+    if not os.environ.get("MVEDIT_DEBUG_MEM"):
+        return
+    live = [x for x in jax.live_arrays() if not x.is_deleted()]
+    tot = sum(x.nbytes for x in live)
+    top = sorted(((x.nbytes, x.shape, str(x.dtype)) for x in live),
+                 reverse=True)[:6]
+    stats = jax.local_devices()[0].memory_stats() or {}
+    print(f"[mem@{tag}] live={tot / 2**30:.2f}GiB n={len(live)} top="
+          f"{[(round(n / 2**20, 1), s, d) for n, s, d in top]} "
+          f"{ {k: round(v / 2**30, 2) for k, v in stats.items() if 'bytes_in_use' in k or 'peak' in k} }",
+          flush=True)
 
 
 def _gather_views(tree, ids):
@@ -253,7 +284,7 @@ class MVEdit3DPipeline:
         @jax.jit
         def dec(params, lat):
             return vae.apply({"params": params}, lat, method=vae.decode)
-        return dec
+        return self._chunk_views(dec)
 
     def _vae_encode(self):
         vae = self.m.vae
@@ -261,12 +292,47 @@ class MVEdit3DPipeline:
         @jax.jit
         def enc(params, img):
             return vae.apply({"params": params}, img, method=vae.encode)
-        return enc
+        return self._chunk_views(enc)
+
+    def _chunk_views(self, fn):
+        """Bound the per-program view batch to cfg.diff_bs (single-chip).
+
+        Remainders are padded up to one chunk so exactly one executable
+        per chunk shape exists. Under a device mesh the batch stays whole
+        (it is dp-sharded across chips, per-chip slice already small)."""
+        bs = max(int(self.cfg.diff_bs), 1)
+
+        def run(params, x):
+            n = x.shape[0]
+            if self.device_mesh is not None or n <= bs:
+                return fn(params, x)
+            outs = []
+            for i in range(0, (n // bs) * bs, bs):
+                outs.append(fn(params, x[i:i + bs]))
+            r = n % bs
+            if r:
+                pad = jnp.concatenate(
+                    [x[n - r:], jnp.repeat(x[:1], bs - r, 0)], axis=0)
+                outs.append(fn(params, pad)[:r])
+            return jnp.concatenate(outs, axis=0)
+        return run
 
     def _denoise(self, num_views):
-        from .denoise import DenoiseModels, make_noise_pred_1pass, \
-            make_noise_pred_2pass
+        from .denoise import (DenoiseModels, make_noise_pred_1pass,
+                              make_noise_pred_2pass,
+                              make_chunked_noise_pred_1pass,
+                              make_chunked_noise_pred_2pass)
         ip_ctx = getattr(self.m, "ip_context", None)
+        # diff_bs view chunking is exact in use_reference mode and makes
+        # the UNet programs bucket-size independent (ONE executable reused
+        # at every view count — bounded arena, no bucket recompiles).
+        # Under a device mesh the batch is dp-sharded instead.
+        chunked = (self.cfg.use_reference and self.device_mesh is None
+                   and 0 < self.cfg.diff_bs < num_views)
+        key = ("denoise", "chunked" if chunked else num_views,
+               self.cfg.mode)
+        if key in self._fit_cache:
+            return self._fit_cache[key]
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
                            num_views=num_views,
@@ -274,52 +340,125 @@ class MVEdit3DPipeline:
                            ip_tokens=0 if ip_ctx is None
                            else int(ip_ctx.shape[1]))
         if self.cfg.mode == "1-pass":
-            return make_noise_pred_1pass(dm), None
-        return make_noise_pred_2pass(dm)
+            fns = (make_chunked_noise_pred_1pass(dm, self.cfg.diff_bs)
+                   if chunked else make_noise_pred_1pass(dm)), None
+        elif chunked:
+            fns = make_chunked_noise_pred_2pass(dm, self.cfg.diff_bs)
+        else:
+            fns = make_noise_pred_2pass(dm)
+        self._fit_cache[key] = fns
+        return fns
 
     def _nerf_fit_fns(self, rs, n_steps):
-        """(fit, optimizer) for render size rs, cached per (rs, n_steps)."""
-        key = ("nerf", rs, n_steps)
-        if key not in self._fit_cache:
-            cfg = self.cfg
-            fit_cfg = NF.NerfFitConfig(
-                render=cfg.render, patch_size=min(cfg.patch_size, rs),
-                patch_bs=cfg.patch_bs, n_steps=n_steps,
-                alpha_soften=cfg.alpha_soften, bg_width=cfg.entropy_d)
-            self._fit_cache[key] = NF.make_nerf_fit(
-                self._decode_fn, fit_cfg, rs,
-                use_lpips=cfg.use_lpips and
-                getattr(self.m, "lpips_params", None) is not None,
-                mesh=self.device_mesh)
-        return self._fit_cache[key]
+        """(fit, optimizer) for render size rs.
+
+        Fit programs are built at <= cfg.fit_steps_per_program scan steps
+        and chained (donated buffers) to cover n_steps — bounding
+        single-program device runtime and sharing ONE compiled program
+        between the init (640) and per-timestep (80) fits."""
+        cfg = self.cfg
+
+        def get(steps):
+            key = ("nerf", rs, steps)
+            if key not in self._fit_cache:
+                fit_cfg = NF.NerfFitConfig(
+                    render=cfg.render, patch_size=min(cfg.patch_size, rs),
+                    patch_bs=cfg.patch_bs, n_steps=steps,
+                    alpha_soften=cfg.alpha_soften, bg_width=cfg.entropy_d)
+                self._fit_cache[key] = NF.make_nerf_fit(
+                    self._decode_fn, fit_cfg, rs,
+                    use_lpips=cfg.use_lpips and
+                    getattr(self.m, "lpips_params", None) is not None,
+                    mesh=self.device_mesh)
+            return self._fit_cache[key]
+
+        L = n_steps if cfg.fit_steps_per_program <= 0 \
+            else min(n_steps, cfg.fit_steps_per_program)
+        fit_l, opt = get(L)
+        if L == n_steps:
+            return fit_l, opt
+        rem = n_steps % L
+        fit_r = get(rem)[0] if rem else None
+
+        def run(params, opt_state, grid, tgt, key, sched=None,
+                lpips_params=None):
+            hists = []
+            for _ in range(n_steps // L):
+                key, kc = jax.random.split(key)
+                params, opt_state, grid, out = fit_l(
+                    params, opt_state, grid, tgt, kc, sched=sched,
+                    lpips_params=lpips_params)
+                hists.append(out["loss"])
+            if fit_r is not None:
+                key, kc = jax.random.split(key)
+                params, opt_state, grid, out = fit_r(
+                    params, opt_state, grid, tgt, kc, sched=sched,
+                    lpips_params=lpips_params)
+                hists.append(out["loss"])
+            return params, opt_state, grid, {
+                "loss": jnp.concatenate(hists)}
+        return run, opt
 
     def _mesh_raster_cfg(self, rs):
-        # DMTet soups are many small tris: tight span, deep per-tile budget
+        # DMTet soups are many small tris: tight span, deep per-tile
+        # budget. tile_chunk bounds the shade-stage working set (tiles
+        # processed per lax.map step): at 512^2 the (chunk, px, K)
+        # temporaries reach ~1.5GB at chunk 256, and a loaded TPU
+        # executable RESERVES that arena for its lifetime — chunk 64
+        # cuts it 4x for a few extra (fully parallel) map steps
         return RasterConfig(height=rs, width=rs, span=2,
-                            k_per_tile=768 if rs >= 256 else 256)
+                            k_per_tile=768 if rs >= 256 else 256,
+                            tile_chunk=64 if rs >= 512 else 256)
 
     def _mesh_fit_fns(self, tet_grid, n_steps):
-        key = ("mesh", n_steps)
-        if key not in self._fit_cache:
-            cfg = self.cfg
-            # static-capacity surface compaction from res 32 up: caps
-            # ~16/24 res^2 cover typical surfaces with slack; res >= 128
-            # REQUIRES it (full unique-edge buffers OOM at compile)
-            res = cfg.tet_resolution
-            vert_cap = 1 << max(9, (16 * res * res - 1).bit_length()) \
-                if res >= 32 else 0
-            mcfg = MF.MeshFitConfig(
-                raster=self._mesh_raster_cfg(cfg.render_size),
-                n_steps=n_steps,
-                normal_reg_weight=cfg.mesh_normal_reg_weight,
-                laplacian_weight=0.25 * cfg.mesh_smoothness,
-                normal_consistency_weight=0.25 * cfg.mesh_smoothness,
-                patch_size=min(cfg.patch_size, cfg.render_size),
-                vert_cap=vert_cap,
-                face_cap=vert_cap + (vert_cap >> 1))
-            self._fit_cache[key] = MF.make_mesh_fit(
-                tet_grid, self._color_fn, mcfg)
-        return self._fit_cache[key]
+        """(fit, optimizer, extract) — fit covers n_steps via chained
+        <= fit_steps_per_program-step programs (see _nerf_fit_fns)."""
+        cfg = self.cfg
+
+        def get(steps):
+            key = ("mesh", steps)
+            if key not in self._fit_cache:
+                # static-capacity surface compaction from res 32 up: caps
+                # ~16/24 res^2 cover typical surfaces with slack; res >=
+                # 128 REQUIRES it (full unique-edge buffers OOM at compile)
+                res = cfg.tet_resolution
+                vert_cap = 1 << max(9, (16 * res * res - 1).bit_length()) \
+                    if res >= 32 else 0
+                mcfg = MF.MeshFitConfig(
+                    raster=self._mesh_raster_cfg(cfg.render_size),
+                    n_steps=steps,
+                    normal_reg_weight=cfg.mesh_normal_reg_weight,
+                    laplacian_weight=0.25 * cfg.mesh_smoothness,
+                    normal_consistency_weight=0.25 * cfg.mesh_smoothness,
+                    patch_size=min(cfg.patch_size, cfg.render_size),
+                    vert_cap=vert_cap,
+                    face_cap=vert_cap + (vert_cap >> 1))
+                self._fit_cache[key] = MF.make_mesh_fit(
+                    tet_grid, self._color_fn, mcfg)
+            return self._fit_cache[key]
+
+        L = n_steps if cfg.fit_steps_per_program <= 0 \
+            else min(n_steps, cfg.fit_steps_per_program)
+        fit_l, opt, extract = get(L)
+        if L == n_steps:
+            return fit_l, opt, extract
+        rem = n_steps % L
+        fit_r = get(rem)[0] if rem else None
+
+        def run(state, opt_state, tgt, key, sched=None, lpips_params=None):
+            out = None
+            for _ in range(n_steps // L):
+                key, kc = jax.random.split(key)
+                state, opt_state, out = fit_l(
+                    state, opt_state, tgt, kc, sched=sched,
+                    lpips_params=lpips_params)
+            if fit_r is not None:
+                key, kc = jax.random.split(key)
+                state, opt_state, out = fit_r(
+                    state, opt_state, tgt, kc, sched=sched,
+                    lpips_params=lpips_params)
+            return state, opt_state, out
+        return run, opt, extract
 
     # ---------------- schedules -----------------------------------------
 
@@ -453,8 +592,10 @@ class MVEdit3DPipeline:
             ref_noisy = self._shard_batch(
                 S.add_noise(sch, ref_latents, ref_noise, t0_vec))
             ref_solver_state = S.SolverState.init(latents.shape)
+            del ref_noise
         else:
             ref_latents = ref_noisy = ref_solver_state = None
+        del lat0, noise
 
         mesh_state = None
         mesh_fit_fns = None
@@ -470,6 +611,7 @@ class MVEdit3DPipeline:
         alive &= np.asarray(tgt["cam_weights"]) > 0
 
         p1 = p2 = one_pass = None
+        prev_rs = None
         steps = [None] + list(timesteps)
         for i, t in enumerate(steps):
             progress = i / max(len(steps) - 1, 1)
@@ -477,6 +619,17 @@ class MVEdit3DPipeline:
             rs = default_render_size_p(progress, cfg.render_size) \
                 if (cfg.render_size_ramp and not in_mesh_phase) \
                 else cfg.render_size
+            if prev_rs is not None and rs != prev_rs and not in_mesh_phase:
+                # render-size ramp step: the old-size fit + renderer
+                # programs never run again — evict them (loaded TPU
+                # executables reserve HBM arenas for their lifetime)
+                for ck in [k for k in self._fit_cache
+                           if k[0] == "nerf" and k[1] == prev_rs]:
+                    fit_fn, _ = self._fit_cache.pop(ck)
+                    if hasattr(fit_fn, "clear_cache"):
+                        fit_fn.clear_cache()
+                NF.clear_renderer_cache(prev_rs)
+            prev_rs = rs
 
             # ---- camera schedule: prune + bucket gather (:1149-1215) ----
             if i > 0:
@@ -538,9 +691,18 @@ class MVEdit3DPipeline:
                         if ctrl_images is not None:
                             ctrl_images = ctrl_images[jnp.asarray(ids)]
                             ctrl_depths = ctrl_depths[jnp.asarray(ids)]
+                        # chunked denoise fns are bucket-size independent
+                        # (same executable, no hasattr(clear_cache));
+                        # whole-batch fns re-jit at the new size — evict
+                        # the superseded UNet+ControlNet programs
+                        self._fit_cache.pop(
+                            ("denoise", cur_n, self.cfg.mode), None)
+                        for fn in (p1, p2, one_pass):
+                            if fn is not None and hasattr(fn, "clear_cache"):
+                                fn.clear_cache()
+                        p1 = p2 = one_pass = None
                         cur_n = b
                         alive = alive[ids]
-                        p1 = p2 = one_pass = None   # re-jit at new size
                         break
 
             N = cur_n
@@ -605,16 +767,21 @@ class MVEdit3DPipeline:
             else:
                 first_mesh_step = mesh_state is None
                 if first_mesh_step:
-                    if os.environ.get("MVEDIT_DEBUG_MEM"):
-                        stats = jax.local_devices()[0].memory_stats() or {}
-                        print("[mem@mesh-switch]",
-                              {k: round(v / 2**30, 2)
-                               for k, v in stats.items()
-                               if "bytes_in_use" in k or "limit" in k},
-                              flush=True)
+                    _mem_debug("mesh-switch")
                     # free the NeRF-phase optimizer state before building
                     # the mesh phase (hundreds of MB of Adam moments)
                     del opt_state
+                    # evict the NeRF-phase executables: compiled TPU
+                    # programs live in HBM, and by the switch we hold fit
+                    # programs for every render size of the ramp plus the
+                    # chunked image renderers — none runs again, but
+                    # together they crowd out the mesh-phase raster peak
+                    for ck in [k for k in self._fit_cache
+                               if k[0] == "nerf"]:
+                        fit_fn, _ = self._fit_cache.pop(ck)
+                        if hasattr(fit_fn, "clear_cache"):
+                            fit_fn.clear_cache()
+                    NF.clear_renderer_cache()
                     tet_grid = build_grid_tets(cfg.tet_resolution)
                     sdf0 = MF.init_sdf_from_density(
                         lambda x: self._decode_fn(nerf_params, x)[0],
@@ -624,14 +791,12 @@ class MVEdit3DPipeline:
                         "sdf": sdf0,
                         "deform": jnp.zeros((len(tet_grid.verts), 3)),
                     }
-                    # first DMTet fit runs tet_init_inverse_steps (:1316)
-                    self._mesh_fit_fns(tet_grid, cfg.tet_init_inverse_steps)
-                    mesh_fit_fns = self._mesh_fit_fns(
-                        tet_grid, cfg.n_inverse_steps)
-                    mesh_opt_state = mesh_fit_fns[1].init(mesh_state)
+                    mesh_opt_state = self._mesh_fit_fns(
+                        tet_grid, cfg.n_inverse_steps)[1].init(mesh_state)
+                # first DMTet fit runs tet_init_inverse_steps (:1316)
                 n_steps = cfg.tet_init_inverse_steps if first_mesh_step \
                     else cfg.n_inverse_steps
-                mfit, _, _ = self._fit_cache[("mesh", n_steps)]
+                mfit, _, _ = self._mesh_fit_fns(tet_grid, n_steps)
                 sw = self._sched_weights(progress, "mesh")
                 mesh_state, mesh_opt_state, fit_out = mfit(
                     mesh_state, mesh_opt_state, tgt, kf,
@@ -640,6 +805,7 @@ class MVEdit3DPipeline:
                 nerf_params = mesh_state["field"]
 
             # ---- re-render all views -> ctrl inputs + eps_3d ----
+            _mem_debug(f"render-all i={i}")
             renders = self._render_all(nerf_params, mesh_state, last_mt,
                                        grid, tgt, rs)
             ctrl_depths_rs = normalize_depth(

@@ -58,6 +58,10 @@ class TextureConfig:
     min_num_views: int = 0
     mid_num_views: int = 0
     keep_first_views: int = 0
+    # largest view batch per UNet program (the reference's --diff-bs);
+    # exact in use_reference mode, and keeps ONE bounded-arena executable
+    # across every view-bucket size (see pipelines/denoise.py)
+    diff_bs: int = 8
     ingp: INGPConfig = field(default_factory=INGPConfig)
     mode: str = "2-pass"
 
@@ -168,22 +172,30 @@ class TexturePipeline:
         N = cfg.num_views
         vae = self.m.vae
 
-        vae_enc = jax.jit(lambda p, x: vae.apply({"params": p}, x,
-                                                 method=vae.encode))
-        vae_dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
-                                                 method=vae.decode))
+        from .denoise import (DenoiseModels, make_noise_pred_2pass,
+                              make_chunked_noise_pred_2pass,
+                              chunk_view_batches)
+        # diff_bs bounds the largest image-space program (VAE at 512^2
+        # and, in use_reference mode exactly, the UNet passes)
+        vae_enc = chunk_view_batches(
+            jax.jit(lambda p, x: vae.apply({"params": p}, x,
+                                           method=vae.encode)), cfg.diff_bs)
+        vae_dec = chunk_view_batches(
+            jax.jit(lambda p, z: vae.apply({"params": p}, z,
+                                           method=vae.decode)), cfg.diff_bs)
         ip_ctx = ip_context if ip_context is not None else \
             getattr(self.m, "ip_context", None)
         ip2 = None if ip_ctx is None else jnp.concatenate(
             [jnp.repeat(ip_ctx[:1], N, 0),
              jnp.repeat(ip_ctx[1:2], N, 0)], axis=0)
-        from .denoise import DenoiseModels, make_noise_pred_2pass
+        chunked = cfg.use_reference and 0 < cfg.diff_bs < N
         dm = DenoiseModels(unet=self.m.unet,
                            controlnets=tuple(self.m.controlnets),
                            num_views=N, use_reference=cfg.use_reference,
                            ip_tokens=0 if ip_ctx is None
                            else int(ip_ctx.shape[1]))
-        p1, p2 = make_noise_pred_2pass(dm)
+        p1, p2 = make_chunked_noise_pred_2pass(dm, cfg.diff_bs) \
+            if chunked else make_noise_pred_2pass(dm)
 
         geom = self._render_geometry(mesh, poses, intrinsics)
         if cam_weights is not None:
@@ -295,14 +307,22 @@ class TexturePipeline:
                         cur_n = b
                         targets["cam_weights"] = jnp.asarray(
                             cam_w * alive, jnp.float32)
-                        dm = DenoiseModels(
-                            unet=self.m.unet,
-                            controlnets=tuple(self.m.controlnets),
-                            num_views=b,
-                            use_reference=cfg.use_reference,
-                            ip_tokens=0 if ip_ctx is None
-                            else int(ip_ctx.shape[1]))
-                        p1, p2 = make_noise_pred_2pass(dm)
+                        # evict the superseded-size executables (loaded
+                        # TPU programs reserve their HBM arenas); chunked
+                        # denoise fns are bucket-size independent (plain
+                        # wrappers, no clear_cache) and are kept
+                        for fn in (p1, p2, fit):
+                            if hasattr(fn, "clear_cache"):
+                                fn.clear_cache()
+                        if not chunked:
+                            dm = DenoiseModels(
+                                unet=self.m.unet,
+                                controlnets=tuple(self.m.controlnets),
+                                num_views=b,
+                                use_reference=cfg.use_reference,
+                                ip_tokens=0 if ip_ctx is None
+                                else int(ip_ctx.shape[1]))
+                            p1, p2 = make_noise_pred_2pass(dm)
                         fit, _ = make_texture_fit(
                             color_fn, cfg, n_views=b,
                             lpips_params=lpips_params)

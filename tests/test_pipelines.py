@@ -192,11 +192,14 @@ def test_instruct_extra_controlnet_is_applied():
 
 
 @pytest.mark.slow
-def test_mvedit3d_view_pruning_and_schedules(tmp_path):
+@pytest.mark.parametrize("diff_bs", [8, 2])
+def test_mvedit3d_view_pruning_and_schedules(tmp_path, diff_bs):
     """The view schedule prunes cameras (weights -> 0) and gathers the
     buffers down to the min bucket by the last step
     (mvedit_3d_pipeline.py:45-49,1149-1215); schedules ride as traced
-    scalars (no per-step recompiles of the fit)."""
+    scalars (no per-step recompiles of the fit). diff_bs=2 < N drives the
+    whole loop through the chunked denoise path (bucket-size-independent
+    UNet programs)."""
     from mvedit_tpu.pipelines import MVEdit3DConfig, MVEdit3DPipeline
     from mvedit_tpu.apis.cameras import surround_rig
     from mvedit_tpu.models.volume_renderer import RenderConfig
@@ -211,7 +214,8 @@ def test_mvedit3d_view_pruning_and_schedules(tmp_path):
         render_size=size, render_size_ramp=True, latent_size=16,
         diffusion_steps=6, n_inverse_steps=2, init_inverse_steps=2,
         tet_resolution=8, tet_init_inverse_steps=2, patch_size=8,
-        patch_bs=1, ingp=TINY_INGP,
+        patch_bs=1, diff_bs=diff_bs, fit_steps_per_program=1,
+        ingp=TINY_INGP,
         render=RenderConfig(num_samples=8, grid_size=8))
     rng = np.random.default_rng(0)
     from mvedit_tpu.apis.cameras import surround_rig as rig
@@ -231,6 +235,69 @@ def test_mvedit3d_view_pruning_and_schedules(tmp_path):
     # min bucket (2 views)
     assert out["renders"]["rgb"].shape[0] == cfg.min_num_views
     assert out["mesh_state"] is not None
+    # phase-boundary executable eviction: after the NeRF->DMTet switch the
+    # NeRF fit programs and the chunked volume renderers (one per ramp
+    # size) must be dropped — compiled programs occupy HBM and would
+    # otherwise crowd out the mesh-phase raster peak at full scale
+    from mvedit_tpu.models import nerf_fit as NF
+    assert not any(k[0] == "nerf" for k in pipe._fit_cache)
+    assert not NF._RENDERER_CACHE
+
+
+def test_chunked_denoise_matches_whole_batch():
+    """diff_bs view chunking (the reference's --diff-bs, app.py:36) is
+    EXACT in use_reference mode: per-chunk p1/p2/1-pass must reproduce the
+    whole-batch outputs bit-for-bit semantics (incl. a ragged remainder
+    chunk, which is padded then sliced)."""
+    from mvedit_tpu.pipelines.denoise import (
+        DenoiseModels, make_noise_pred_1pass, make_noise_pred_2pass,
+        make_chunked_noise_pred_1pass, make_chunked_noise_pred_2pass)
+    m = _make_models(jax.random.PRNGKey(0), n_cn=3, hint_strides=3)
+    N, b = 5, 2                       # 2 full chunks + remainder of 1
+    dm = DenoiseModels(unet=m.unet, controlnets=tuple(m.controlnets),
+                       num_views=N, use_reference=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    lat = jax.random.normal(ks[0], (2 * N, 8, 8, 4))
+    ref = jax.random.normal(ks[1], (N, 8, 8, 4))
+    t = jnp.full((2 * N,), 500, jnp.int32)
+    emb = jax.random.normal(ks[2], (2 * N, 8, 32))
+    tile = jax.random.normal(ks[3], (2 * N, 64, 64, 3))
+    depth = jax.random.normal(ks[4], (2 * N, 64, 64, 3))
+    extra = jax.random.normal(ks[5], (2 * N, 64, 64, 3))
+
+    p1_w, p2_w = make_noise_pred_2pass(dm)
+    p1_c, p2_c = make_chunked_noise_pred_2pass(dm, b)
+    eps_w, enc_w, res_w = p1_w(m.unet_params, m.cn_params, lat, t, emb,
+                               None, 0.5, 3.0, extra_images=(extra,),
+                               extra_scales=(1.0,), ref_noisy=ref)
+    eps_c, enc_c, res_c = p1_c(m.unet_params, m.cn_params, lat, t, emb,
+                               None, 0.5, 3.0, extra_images=(extra,),
+                               extra_scales=(1.0,), ref_noisy=ref)
+    np.testing.assert_allclose(np.asarray(eps_c), np.asarray(eps_w),
+                               atol=2e-4)
+    for a, bb in zip(jax.tree_util.tree_leaves(enc_c),
+                     jax.tree_util.tree_leaves(enc_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-4)
+    for a, bb in zip(jax.tree_util.tree_leaves(res_c),
+                     jax.tree_util.tree_leaves(res_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-4)
+    # p2 consumes the canonical-layout enc/res from EITHER p1
+    e2_w = p2_w(m.unet_params, m.cn_params, lat, enc_w, res_w, t, emb,
+                tile, depth, 1.0, 0.5, 3.0, ref_noisy=ref)
+    e2_c = p2_c(m.unet_params, m.cn_params, lat, enc_c, res_c, t, emb,
+                tile, depth, 1.0, 0.5, 3.0, ref_noisy=ref)
+    np.testing.assert_allclose(np.asarray(e2_c), np.asarray(e2_w),
+                               atol=2e-4)
+
+    one_w = make_noise_pred_1pass(dm)
+    one_c = make_chunked_noise_pred_1pass(dm, b)
+    conds = [tile, depth, extra]
+    scales = [1.0, 0.5, 1.0]
+    np.testing.assert_allclose(
+        np.asarray(one_c(m.unet_params, m.cn_params, lat, t, emb, conds,
+                         scales, 3.0, ref_noisy=ref)),
+        np.asarray(one_w(m.unet_params, m.cn_params, lat, t, emb, conds,
+                         scales, 3.0, ref_noisy=ref)), atol=2e-4)
 
 
 def test_reference_pair_denoise():
