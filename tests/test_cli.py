@@ -272,3 +272,74 @@ def test_train_eval_hook(tmp_path):
     rows = [_json.loads(l) for l in
             open(os.path.join(work, "eval.jsonl"))]
     assert rows and "psnr" in rows[0]
+
+
+def test_checkpoint_cleaner_cli(tmp_path):
+    """checkpoint_cleaner removes non-latest npz/step-dir checkpoints;
+    --save-inf prunes non-latest npz to optimizer-free cast weights
+    (reference tools/checkpoint_cleaner.py:16-27)."""
+    work = tmp_path / "work"
+    for step in (100, 200):
+        d = work / f"ckpt_{step}"
+        d.mkdir(parents=True)
+        (d / "_CHECKPOINT_METADATA").write_text("{}")
+    for i in (1, 2):
+        np.savez(work / f"model_{i:03d}.npz",
+                 w=np.ones(3, np.float32), opt_mu=np.ones(3))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "checkpoint_cleaner.py"),
+         str(work), "--save-inf", "--yes"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not (work / "ckpt_100").exists()
+    assert (work / "ckpt_200").exists()
+    pruned = dict(np.load(work / "model_001.npz"))
+    assert set(pruned) == {"w"} and pruned["w"].dtype == np.float16
+    kept = dict(np.load(work / "model_002.npz"))
+    assert "opt_mu" in kept  # latest untouched
+    # plain mode removes the non-latest npz outright
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "checkpoint_cleaner.py"),
+         str(work), "--yes"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not (work / "model_001.npz").exists()
+    assert (work / "model_002.npz").exists()
+
+
+def test_kitti_preproc_cli(tmp_path):
+    """kitti_preproc crops a fully-visible car instance into SRN layout
+    with a bbox-normalized c2w pose (reference tools/kitti_preproc.py)."""
+    from PIL import Image
+    base = tmp_path / "training"
+    for d in ("image_2", "instance_2", "label_2", "calib"):
+        (base / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((128, 256, 3)) * 255).astype(np.uint8)
+                    ).save(base / "image_2" / "000000.png")
+    seg = np.zeros((128, 256), np.int32)
+    seg[40:90, 100:180] = 1000
+    Image.fromarray(seg, mode="I").save(base / "instance_2" / "000000.png")
+    (base / "label_2" / "000000.txt").write_text(
+        "Car 0 0 0.0 100 40 180 90 1.5 1.7 4.0 2.0 1.6 15.0 0.3\n")
+    P = np.array([[700, 0, 128, 40], [0, 700, 64, 1],
+                  [0, 0, 1, 0.002]], np.float32)
+    lines = [f"P{i}: " + " ".join(str(v) for v in P.reshape(-1))
+             for i in range(4)]
+    (base / "calib" / "000000.txt").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "kitti_preproc.py"),
+         "--kitti-dir", str(base), "--out-dir", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    inst = out / "000000_000"
+    assert (inst / "rgb" / "000000.png").exists()
+    assert (inst / "intrinsics.txt").exists()
+    c2w = np.loadtxt(inst / "pose" / "000000.txt").reshape(4, 4)
+    R = c2w[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # camera distance == |loc + cam_t| / bbox diagonal (~3.3 here)
+    assert 3.0 < np.linalg.norm(c2w[:3, 3]) < 3.6
