@@ -391,3 +391,56 @@ def test_marching_tets_compact_matches_full():
     assert int(t["n_verts"]) == nv            # true count still reported
     assert np.asarray(t["faces"]).max() < 8   # no out-of-cap indices
     assert np.isfinite(np.asarray(t["verts"])).all()
+
+
+def test_tsdf_rgbd_to_mesh_sphere():
+    """Fusing analytic sphere depth maps recovers the sphere: radius within
+    ~2 voxels, vertex colors match the render, outward normals, QEM
+    decimation reduces faces (tsdf_rgbd_to_mesh parity,
+    mesh_utils.py:1031-1084)."""
+    from mvedit_tpu.models.mesh.tsdf import tsdf_integrate, tsdf_to_mesh
+    from mvedit_tpu.apis.cameras import surround_rig
+
+    N, hw, r = 8, 64, 0.5
+    col = np.array([0.8, 0.3, 0.2], np.float32)
+    poses, intr = surround_rig(N, 2.0, 40, -0.6, 0.6, hw,
+                               rng=np.random.default_rng(0))
+    c2w = np.concatenate([poses, np.tile([[[0, 0, 0, 1.0]]], (N, 1, 1))], 1)
+    w2cs = np.linalg.inv(c2w)
+    depths = np.zeros((N, hw, hw), np.float32)
+    rgbs = np.zeros((N, hw, hw, 3), np.float32)
+    u, v = np.meshgrid(np.arange(hw) + 0.5, np.arange(hw) + 0.5,
+                       indexing="xy")
+    for i in range(N):
+        fx, fy, cx, cy = intr[i]
+        d = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        c = w2cs[i, :3, 3]          # sphere center in camera coords
+        a = np.sum(d * d, -1)
+        b = -2 * np.sum(d * c, -1)
+        cc = np.sum(c * c) - r * r
+        disc = b * b - 4 * a * cc
+        hit = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a)
+        depths[i] = np.where(hit & (t > 0), t, 0).astype(np.float32)
+        rgbs[i] = np.where(hit[..., None], col, 0)
+
+    out = tsdf_integrate(rgbs, depths, w2cs, intr, bound=1.0,
+                         resolution=64, z_chunk=16)
+    full = tsdf_to_mesh(out["tsdf"], out["weight"], out["color"],
+                        bound=1.0, prune_thr=10, mesh_reduction=0.0)
+    assert len(full.f) > 100
+    rad = np.linalg.norm(full.v, axis=-1)
+    assert abs(np.median(rad) - r) < 0.07, np.median(rad)
+    assert np.allclose(np.median(full.vc, axis=0), col, atol=0.15)
+    # outward normals: vn . v > 0 for the vast majority
+    outward = np.sum(full.vn * full.v, -1) > 0
+    assert outward.mean() > 0.95
+    dec = tsdf_to_mesh(out["tsdf"], out["weight"], out["color"],
+                       bound=1.0, prune_thr=10, mesh_reduction=0.2)
+    if dec.f.shape[0] != full.f.shape[0]:  # native runtime present
+        assert dec.f.shape[0] < 0.4 * full.f.shape[0]
+        assert abs(np.median(np.linalg.norm(dec.v, axis=-1)) - r) < 0.1
+    # prune_thr larger than the sphere's face count empties the mesh
+    empty = tsdf_to_mesh(out["tsdf"], out["weight"], out["color"],
+                         bound=1.0, prune_thr=10 ** 6, mesh_reduction=0.0)
+    assert len(empty.f) == 0
