@@ -328,7 +328,10 @@ class Adapter3DRunner(EndpointsMixin):
         imgs = jnp.asarray(images)
         n, h, w = imgs.shape[:3]
         x = jax.image.resize(imgs, (n, s, s, 3), "bilinear")
-        out = jax.jit(lambda p, z: net.apply(p, z))(params, x)
+        # ReLU head is unbounded above; ref clamps to [0,1]
+        # (mvedit_3d_pipeline.py:270)
+        out = jnp.clip(jax.jit(lambda p, z: net.apply(p, z))(params, x),
+                       0.0, 1.0)
         return jax.image.resize(out, (n, h, w, 3), "bilinear")
 
     def estimate_input_pose(self, image, views, view_poses, fov,

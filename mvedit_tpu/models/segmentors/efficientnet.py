@@ -43,8 +43,12 @@ def b7_stage_config(width_mult=2.0, depth_mult=3.1):
 
 
 class BN(nn.Module):
-    """Inference BatchNorm with stored statistics as params."""
+    """Inference BatchNorm with stored statistics as params.
+
+    eps defaults to the tf-efficientnet value (1e-3); torch-default nets
+    (LoFTR ResNetFPN) pass eps=1e-5."""
     dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x):
@@ -53,7 +57,7 @@ class BN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
-        inv = jax.lax.rsqrt(var + 1e-3) * scale  # eps=1e-3 (torch effnet)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
         return (x - mean) * inv + bias
 
 

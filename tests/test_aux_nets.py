@@ -36,7 +36,110 @@ def test_dpt_normal_model_shapes():
     params = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
     assert out.shape == (1, 64, 64, 3)
-    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    # ReLU (non_negative) head: bounded below, clamped by callers above
+    assert float(out.min()) >= 0 and np.isfinite(np.asarray(out)).all()
+
+
+def test_dpt_converter_roundtrip():
+    """Synthetic torch state dict in the omnidata/timm key layout maps
+    exactly onto the flax tree (every leaf matched, values preserved)."""
+    from mvedit_tpu.models.segmentors.dpt import (DPTNormalModel,
+                                                  convert_dpt)
+    vd, feats = 24, 8
+    net = DPTNormalModel(vit_dim=vd, vit_layers=2, readout_taps=(0, 1),
+                         resnet_layers=(1, 1, 1), features=feats,
+                         pos_grid=(2, 2))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def leaf(*path):
+        node = ref["params"]
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+
+    def put_conv(tk, *path):
+        sd[tk + ".weight"] = leaf(*path, "kernel").transpose(3, 2, 0, 1)
+        node = ref["params"]
+        for p in path:
+            node = node[p]
+        if "bias" in node:
+            sd[tk + ".bias"] = np.asarray(node["bias"])
+
+    def put_dense(tk, *path):
+        sd[tk + ".weight"] = leaf(*path, "kernel").T
+        sd[tk + ".bias"] = leaf(*path, "bias")
+
+    def put_norm(tk, *path):
+        sd[tk + ".weight"] = leaf(*path, "scale")
+        sd[tk + ".bias"] = leaf(*path, "bias")
+
+    bb = "pretrained.model.patch_embed.backbone"
+    put_conv(f"{bb}.stem.conv", "backbone", "stem_conv")
+    put_norm(f"{bb}.stem.norm", "backbone", "stem_norm", "gn")
+    for s in range(3):
+        blk = f"{bb}.stages.{s}.blocks.0"
+        fx = f"stage{s}_0"
+        for c in ("conv1", "conv2", "conv3"):
+            put_conv(f"{blk}.{c}", "backbone", fx, c)
+        for n in ("norm1", "norm2", "norm3"):
+            put_norm(f"{blk}.{n}", "backbone", fx, n, "gn")
+        put_conv(f"{blk}.downsample.conv", "backbone", fx,
+                 "downsample_conv")
+        put_norm(f"{blk}.downsample.norm", "backbone", fx,
+                 "downsample_norm", "gn")
+    sd["pretrained.model.cls_token"] = leaf("cls_token")
+    sd["pretrained.model.pos_embed"] = leaf("pos_embed")
+    put_conv("pretrained.model.patch_embed.proj", "patch_embed")
+    for i in range(2):
+        b = f"pretrained.model.blocks.{i}"
+        put_norm(f"{b}.norm1", f"vit_{i}", "norm1")
+        put_norm(f"{b}.norm2", f"vit_{i}", "norm2")
+        put_dense(f"{b}.attn.qkv", f"vit_{i}", "qkv")
+        put_dense(f"{b}.attn.proj", f"vit_{i}", "proj")
+        put_dense(f"{b}.mlp.fc1", f"vit_{i}", "fc1")
+        put_dense(f"{b}.mlp.fc2", f"vit_{i}", "fc2")
+    # final ViT norm: present in ckpt, unused by the hooks
+    sd["pretrained.model.norm.weight"] = np.ones((vd,), np.float32)
+    sd["pretrained.model.norm.bias"] = np.zeros((vd,), np.float32)
+    put_dense("pretrained.act_postprocess3.0.project.0", "readout3")
+    put_conv("pretrained.act_postprocess3.3", "postproc3")
+    put_dense("pretrained.act_postprocess4.0.project.0", "readout4")
+    put_conv("pretrained.act_postprocess4.3", "postproc4a")
+    put_conv("pretrained.act_postprocess4.4", "postproc4b")
+    for n in range(1, 5):
+        put_conv(f"scratch.layer{n}_rn", f"layer{n}_rn")
+        put_conv(f"scratch.refinenet{n}.out_conv", f"fusion{n}",
+                 "out_conv")
+        put_conv(f"scratch.refinenet{n}.resConfUnit2.conv1",
+                 f"fusion{n}", "rcu2", "conv1")
+        put_conv(f"scratch.refinenet{n}.resConfUnit2.conv2",
+                 f"fusion{n}", "rcu2", "conv2")
+        if n < 4:  # refinenet4 never calls rcu1 (no skip input)
+            put_conv(f"scratch.refinenet{n}.resConfUnit1.conv1",
+                     f"fusion{n}", "rcu1", "conv1")
+            put_conv(f"scratch.refinenet{n}.resConfUnit1.conv2",
+                     f"fusion{n}", "rcu1", "conv2")
+    # refinenet4.rcu1 exists in real ckpts; must be silently dropped
+    sd["scratch.refinenet4.resConfUnit1.conv1.weight"] = \
+        np.zeros((feats, feats, 3, 3), np.float32)
+    sd["scratch.refinenet4.resConfUnit1.conv1.bias"] = \
+        np.zeros((feats,), np.float32)
+    for tk, fx in (("0", "head1"), ("2", "head2"), ("4", "head3")):
+        put_conv(f"scratch.output_conv.{tk}", fx)
+
+    tree, unmatched = convert_dpt(sd)
+    assert unmatched == []
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(tree))
+    assert len(flat_ref) == len(flat_new)
+    for path, v in flat_ref:
+        np.testing.assert_array_equal(np.asarray(flat_new[path]),
+                                      np.asarray(v), err_msg=str(path))
+    # converted params actually run
+    out = net.apply(tree, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 32, 32, 3)
 
 
 def test_loftr_matching_flow():
@@ -54,6 +157,85 @@ def test_loftr_matching_flow():
     # dominates for an untrained net is not guaranteed; just check coords
     # are inside the image
     assert (pts0 >= 0).all() and (pts0 <= 64).all()
+
+
+def test_loftr_converter_roundtrip():
+    """Synthetic torch state dict in the indoor_ds_new.ckpt key layout
+    (incl. the lightning `matcher.` prefix) maps exactly onto the flax
+    tree."""
+    from mvedit_tpu.models.segmentors.loftr import LoFTR, convert_loftr
+    net = LoFTR(layers=1, topk=16)
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                   jnp.zeros((1, 32, 32, 1)))
+
+    def leaf(*path):
+        node = ref["params"]
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+
+    def put_conv(tk, *path):
+        sd[tk + ".weight"] = leaf(*path, "kernel").transpose(3, 2, 0, 1)
+
+    def put_bn(tk, *path):
+        sd[tk + ".weight"] = leaf(*path, "scale")
+        sd[tk + ".bias"] = leaf(*path, "bias")
+        sd[tk + ".running_mean"] = leaf(*path, "mean")
+        sd[tk + ".running_var"] = leaf(*path, "var")
+        sd[tk + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+    def put_enc(tk, fx):
+        for t, f in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                     ("v_proj", "v_proj"), ("merge", "merge"),
+                     ("mlp.0", "mlp0"), ("mlp.2", "mlp2")):
+            sd[f"{tk}.{t}.weight"] = leaf(fx, f, "kernel").T
+        for n in ("norm1", "norm2"):
+            sd[f"{tk}.{n}.weight"] = leaf(fx, n, "scale")
+            sd[f"{tk}.{n}.bias"] = leaf(fx, n, "bias")
+
+    put_conv("backbone.conv1", "backbone", "conv1")
+    put_bn("backbone.bn1", "backbone", "bn1")
+    for L in ("1", "2", "3"):
+        for i in range(2):
+            tp, fp = f"backbone.layer{L}.{i}", f"layer{L}_{i}"
+            put_conv(f"{tp}.conv1", "backbone", fp, "conv1")
+            put_conv(f"{tp}.conv2", "backbone", fp, "conv2")
+            put_bn(f"{tp}.bn1", "backbone", fp, "bn1")
+            put_bn(f"{tp}.bn2", "backbone", fp, "bn2")
+            if L != "1" and i == 0:
+                put_conv(f"{tp}.downsample.0", "backbone", fp,
+                         "downsample_conv")
+                put_bn(f"{tp}.downsample.1", "backbone", fp,
+                       "downsample_bn")
+        put_conv(f"backbone.layer{L}_outconv", "backbone",
+                 f"layer{L}_outconv")
+    for L in ("1", "2"):
+        tp, fp = f"backbone.layer{L}_outconv2", f"layer{L}_outconv2"
+        put_conv(f"{tp}.0", "backbone", fp, "conv1")
+        put_bn(f"{tp}.1", "backbone", fp, "bn")
+        put_conv(f"{tp}.3", "backbone", fp, "conv2")
+    for i in range(2):
+        put_enc(f"loftr_coarse.layers.{i}", f"coarse_{i}")
+        put_enc(f"loftr_fine.layers.{i}", f"fine_{i}")
+    for tk, fx in (("fine_preprocess.down_proj", "down_proj"),
+                   ("fine_preprocess.merge_feat", "merge_feat")):
+        sd[tk + ".weight"] = leaf(fx, "kernel").T
+        sd[tk + ".bias"] = leaf(fx, "bias")
+
+    sd = {"matcher." + k: v for k, v in sd.items()}
+    tree, unmatched = convert_loftr(sd)
+    assert unmatched == []
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(tree))
+    assert len(flat_ref) == len(flat_new)
+    for path, v in flat_ref:
+        np.testing.assert_array_equal(np.asarray(flat_new[path]),
+                                      np.asarray(v), err_msg=str(path))
+    out = net.apply(tree, jnp.zeros((1, 32, 32, 1)),
+                    jnp.zeros((1, 32, 32, 1)))
+    assert out["pts0"].shape == out["pts1"].shape == (16, 2)
 
 
 def test_pose_elev_estimation_synthetic():

@@ -93,7 +93,21 @@ def _convert_ramping(sd):
     return {}, list(sd)
 
 
+def _convert_dpt(sd):
+    from mvedit_tpu.models.segmentors.dpt import convert_dpt
+    tree, unmatched = convert_dpt(sd)
+    return tree["params"], unmatched
+
+
+def _convert_loftr(sd):
+    from mvedit_tpu.models.segmentors.loftr import convert_loftr
+    tree, unmatched = convert_loftr(sd)
+    return tree["params"], unmatched
+
+
 CONVERTERS = {
+    "dpt": _convert_dpt,
+    "loftr": _convert_loftr,
     "unet": lambda sd: W.convert_unet(sd),
     "controlnet": lambda sd: W.convert_controlnet(sd),
     "vae": lambda sd: W.convert_vae(sd),
@@ -126,10 +140,8 @@ MANIFEST = {
     "realesr-general-x4v3": ("srvgg", "image_enhancer"),
     "lpips_vgg": ("lpips", "lpips"),
     "pt_inception-2015-12-05": ("inception", "inception"),
-    # DPT (omnidata) and LoFTR conversions ship once their flax towers
-    # are key-aligned with the timm/kornia layouts (tracked in
-    # COMPONENTS.md) — weights load through `checkpoint_dir/omnidata`
-    # and `checkpoint_dir/loftr` when present.
+    "omnidata_dpt_normal_v2": ("dpt", "omnidata"),
+    "indoor_ds_new": ("loftr", "loftr"),
 }
 
 
