@@ -400,3 +400,46 @@ def test_texture_pipeline_view_pruning():
                jax.random.PRNGKey(1))
     assert out["renders"].shape[0] == cfg.min_num_views
     assert np.isfinite(out["mesh"].albedo).all()
+
+
+@pytest.mark.slow
+def test_zero123_legacy_pipeline_tiny():
+    """Legacy Zero123 (input view + relative camera -> novel view): the
+    8-channel latent concat, CLIP+camera token projection, CFG, and DDIM
+    loop (reference lib/pipelines/zero123.py:96-660)."""
+    from mvedit_tpu.pipelines import (Zero123Config, Zero123Pipeline,
+                                      CLIPCameraProjection,
+                                      camera_embedding)
+    from mvedit_tpu.models.diffusion import (CLIPVisionConfig,
+                                             CLIPVisionModel)
+
+    key = jax.random.PRNGKey(0)
+    m = _make_models(key, n_cn=0)
+    # re-init the UNet for the 8-channel (noisy + image latent) input
+    x8 = jnp.zeros((1, 8, 8, 8))
+    m.unet_params = m.unet.init(jax.random.PRNGKey(3), x8,
+                                jnp.zeros((1,), jnp.int32),
+                                jnp.zeros((1, 1, 32)))["params"]
+    vis_cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                               intermediate_size=64, num_layers=2,
+                               num_heads=4, projection_dim=32)
+    m.vision = CLIPVisionModel(vis_cfg)
+    m.vision_params = m.vision.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))["params"]
+    m.ccp = CLIPCameraProjection(embedding_dim=32)
+    m.ccp_params = m.ccp.init(jax.random.PRNGKey(2),
+                              jnp.zeros((1, 1, 36)))["params"]
+
+    cam = camera_embedding(30.0, 45.0, 1.2)
+    assert cam.shape == (1, 1, 4)
+    np.testing.assert_allclose(float(cam[0, 0, 0]), np.deg2rad(30.0),
+                               rtol=1e-6)
+
+    cfg = Zero123Config(num_steps=2, height=32, width=32,
+                        guidance_scale=3.0)
+    pipe = Zero123Pipeline(m, cfg)
+    out = pipe(jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)),
+               30.0, 45.0, 1.2, jax.random.PRNGKey(4))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0

@@ -105,6 +105,22 @@ def _convert_loftr(sd):
     return tree["params"], unmatched
 
 
+def _convert_clip_camera_projection(sd):
+    """Legacy Zero123 CLIPCameraProjection (one Linear; reference
+    lib/pipelines/zero123.py:56-94) -> pipelines.zero123.CLIPCameraProjection."""
+    import numpy as np
+    tree, unmatched = {"proj": {}}, []
+    for k, v in sd.items():
+        a = np.asarray(v)
+        if k.endswith("proj.weight"):
+            tree["proj"]["kernel"] = a.T
+        elif k.endswith("proj.bias"):
+            tree["proj"]["bias"] = a
+        else:
+            unmatched.append(k)
+    return tree, unmatched
+
+
 CONVERTERS = {
     "dpt": _convert_dpt,
     "loftr": _convert_loftr,
@@ -119,6 +135,7 @@ CONVERTERS = {
     "ip_adapter": _convert_ip_adapter,
     "inception": _convert_inception,
     "zero123plus_ramping": _convert_ramping,
+    "clip_camera_projection": _convert_clip_camera_projection,
 }
 
 # Reference model zoo -> (kind, target subdir under checkpoint_dir).
@@ -142,6 +159,11 @@ MANIFEST = {
     "pt_inception-2015-12-05": ("inception", "inception"),
     "omnidata_dpt_normal_v2": ("dpt", "omnidata"),
     "indoor_ds_new": ("loftr", "loftr"),
+    # legacy Zero123 (kept-for-compat pipeline, lib/pipelines/zero123.py)
+    "zero123/unet": ("unet", "zero123_unet"),
+    "zero123/image_encoder": ("clip_vision", "zero123_vision"),
+    "zero123/clip_camera_projection": ("clip_camera_projection",
+                                       "zero123_ccp"),
 }
 
 
