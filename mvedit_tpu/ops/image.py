@@ -7,6 +7,8 @@
 - `resize_bilinear`: antialiased resize wrapper (jax.image).
 - `edge_dilation`: iterative nearest-valid-pixel fill used to pad texture
   atlases so mipmaps do not bleed (ref `lib/ops/edge_dilation.py:5`).
+- `fill_holes`: grayscale morphological reconstruction by erosion (ref
+  `lib/core/utils/geometry_utils.py:171-181`).
 """
 from functools import partial
 
@@ -14,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["gaussian_kernel1d", "gaussian_blur", "highpass", "erode",
-           "resize_bilinear", "edge_dilation"]
+           "resize_bilinear", "edge_dilation", "fill_holes"]
 
 
 def gaussian_kernel1d(sigma, radius=None):
@@ -97,3 +99,48 @@ def edge_dilation(img, mask, n_iters=16):
     mask = mask.astype(jnp.float32)
     img, mask = jax.lax.fori_loop(0, n_iters, body, (img, mask))
     return img
+
+
+def fill_holes(image, max_iters=None):
+    """Fill dark holes of a grayscale image in place, leaving the border.
+
+    Morphological reconstruction by erosion with seed = image.max()
+    everywhere except the 1-pixel border (skimage
+    ``morphology.reconstruction(seed, image, method='erosion')`` as the
+    reference uses it, `lib/core/utils/geometry_utils.py:171-181`): the
+    result is the smallest image >= `image` whose local minima all touch
+    the border. Implemented as a fixed-point of erode-then-clamp —
+    ``f <- max(min-pool3x3(f), image)`` — run inside one
+    `lax.while_loop` until convergence (bounded by `max_iters`, default
+    H+W which is the longest possible geodesic propagation path).
+
+    Args:
+        image: (H, W) grayscale.
+
+    Returns:
+        (H, W) reconstructed image, dtype float32.
+    """
+    img = jnp.asarray(image, jnp.float32)
+    H, W = img.shape
+    if max_iters is None:
+        max_iters = H + W
+    top = jnp.max(img)
+    border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :].set(
+        True).at[:, 0].set(True).at[:, -1].set(True)
+    seed = jnp.where(border, img, top)
+
+    def erode3(x):
+        return -jax.lax.reduce_window(-x, -jnp.inf, jax.lax.max,
+                                      (3, 3), (1, 1), "SAME")
+
+    def cond(state):
+        f, prev, i = state
+        return (i < max_iters) & jnp.any(f != prev)
+
+    def body(state):
+        f, _, i = state
+        return jnp.maximum(erode3(f), img), f, i + 1
+
+    f0 = jnp.maximum(erode3(seed), img)
+    out, _, _ = jax.lax.while_loop(cond, body, (f0, seed, 0))
+    return out

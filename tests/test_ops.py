@@ -158,3 +158,21 @@ def test_edge_dilation_fills():
     img = img.at[8, 8].set(jnp.array([1.0, 0.5, 0.25]))
     out = edge_dilation(img, mask, n_iters=16)
     np.testing.assert_allclose(out[0, 0], [1.0, 0.5, 0.25], atol=1e-5)
+
+
+def test_fill_holes():
+    """Reconstruction-by-erosion hole fill (geometry_utils.py:171-181):
+    a dark basin enclosed by a bright barrier rises to the barrier's
+    lowest point; regions connected to the border are untouched."""
+    from mvedit_tpu.ops import fill_holes
+    img = np.zeros((16, 16), np.float32)
+    img[4:13, 4:13] = 1.0      # barrier ring
+    img[6:11, 6:11] = 0.2      # enclosed basin
+    img[8, 4:6] = 0.7          # lowest pass through the barrier
+    out = np.asarray(jax.jit(fill_holes)(jnp.asarray(img)))
+    assert np.allclose(out[6:11, 6:11], 0.7, atol=1e-6)   # basin -> barrier min
+    assert np.allclose(out[img == 0.0], 0.0, atol=1e-6)   # outside untouched
+    assert np.allclose(out[4, 4:13], img[4, 4:13])        # barrier untouched
+    # idempotent on an already-filled image
+    out2 = np.asarray(fill_holes(jnp.asarray(out)))
+    np.testing.assert_allclose(out2, out, atol=1e-6)
