@@ -48,6 +48,17 @@ class RasterConfig:
     tile_chunk: int = 256   # tiles processed per lax.map step
     near: float = 0.01
     cull_backface: bool = False  # MVEdit meshes are open-surface; keep both
+    # selection backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
+    # "pallas" / "pallas_interpret" / "xla" force one. The Pallas kernel
+    # fuses the (pixels x K-candidates) coverage/z-test into VMEM (the XLA
+    # lax.map shader round-trips those intermediates through HBM and
+    # dominated the DMTet mesh-fit step).
+    backend: str = "xla"
+
+    def resolved_backend(self):
+        if self.backend == "auto":
+            return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return self.backend
 
     @property
     def tiles_x(self):
@@ -138,6 +149,49 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
     return tile_tris, tile_valid, big_tris, big_valid
 
 
+def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
+    """Differentiable outputs for selected (winner) triangles.
+
+    wt: (N,) tri ids; hit: (N,) bool; qp: (N, 2) pixel centers;
+    tri_p: (F, 3, 3). The selection itself is discrete (stop-gradient);
+    gradients to vertices flow through this recompute, matching
+    nvdiffrast's coverage semantics. Returns (tri_out, uv, z, hard, soft).
+    """
+    pw = tri_p[wt]                                    # (N, 3, 3)
+    aw, bw, cw = pw[:, 0], pw[:, 1], pw[:, 2]
+    area_w = _edge(aw[:, :2], bw[:, :2], cw[:, :2])
+    sgn_w = jnp.where(cull_backface, 1.0, jnp.sign(area_w))
+    area_w = area_w * sgn_w
+    w0w = _edge(bw[:, :2], cw[:, :2], qp) * sgn_w
+    w1w = _edge(cw[:, :2], aw[:, :2], qp) * sgn_w
+    w2w = _edge(aw[:, :2], bw[:, :2], qp) * sgn_w
+    inv_area_w = 1.0 / jnp.where(jnp.abs(area_w) < 1e-12, 1e-12, area_w)
+    b0w, b1w, b2w = (w0w * inv_area_w, w1w * inv_area_w,
+                     w2w * inv_area_w)
+    # perspective-correct attribute barycentrics
+    iz0, iz1, iz2 = 1.0 / aw[:, 2], 1.0 / bw[:, 2], 1.0 / cw[:, 2]
+    denom = b0w * iz0 + b1w * iz1 + b2w * iz2
+    u = b1w * iz1 / denom
+    v = b2w * iz2 / denom
+    zpix = 1.0 / denom
+
+    # soft silhouette: signed pixel distance to nearest edge of winner
+    def edge_dist(pa, pb):
+        e = pb[:, :2] - pa[:, :2]
+        n = jnp.stack([-e[:, 1], e[:, 0]], -1) * sgn_w[:, None]
+        nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        d = jnp.sum((qp - pa[:, :2]) * n / jnp.clip(nn, 1e-12, None), -1)
+        return d
+    d_edge = jnp.minimum(
+        jnp.minimum(edge_dist(aw, bw), edge_dist(bw, cw)),
+        edge_dist(cw, aw))
+    alpha_soft = jnp.clip(0.5 + d_edge, 0.0, 1.0) * hit
+
+    tri_out = jnp.where(hit, wt, -1)
+    uv = jnp.stack([u, v], -1) * hit[:, None]
+    return (tri_out, uv, zpix * hit, hit.astype(jnp.float32), alpha_soft)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def rasterize(pts, faces, face_valid, cfg: RasterConfig):
     """Rasterize. pts: (V, 3) pixel-space verts (u, v, z); faces: (F, 3).
@@ -158,6 +212,37 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
 
     tri_p = pts[faces]  # (F, 3, 3)
     ts = cfg.tile
+
+    def detile(x):
+        # (num_tiles, ts, ts, ...) -> (H, W, ...)
+        extra = x.shape[3:]
+        x = x.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, *extra)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(cfg.tiles_y * ts, cfg.tiles_x * ts, *extra)[
+            : cfg.height, : cfg.width]
+
+    backend = cfg.resolved_backend()
+    if backend != "xla":
+        from .select_pallas import prepare_coeffs, select_pallas
+        coef = prepare_coeffs(tri_p, cand, cand_valid, cfg.cull_backface)
+        best, bkey = select_pallas(coef, ts, cfg.tiles_x,
+                                   interpret=(backend == "pallas_interpret"))
+        hit = detile(bkey.reshape(-1, ts, ts)) < 1e38
+        best = detile(best.reshape(-1, ts, ts))
+        # winner tri id: candidate list lookup per pixel
+        tile_of_px = (jnp.arange(cfg.height)[:, None] // ts) * cfg.tiles_x \
+            + jnp.arange(cfg.width)[None, :] // ts
+        wt = cand[tile_of_px, jnp.clip(best, 0, cand.shape[1] - 1)]
+        qp = jnp.stack(jnp.meshgrid(
+            jnp.arange(cfg.width, dtype=pts.dtype) + 0.5,
+            jnp.arange(cfg.height, dtype=pts.dtype) + 0.5,
+            indexing="xy"), -1)
+        flat = _winner_outputs(wt.reshape(-1), hit.reshape(-1),
+                               qp.reshape(-1, 2), tri_p, cfg.cull_backface)
+        tri_id, uv, z, hard, soft = (
+            x.reshape((cfg.height, cfg.width) + x.shape[1:]) for x in flat)
+        return {"tri_id": tri_id, "bary": uv, "z": z, "alpha_hard": hard,
+                "alpha": soft}
 
     def shade_tile(args):
         tri_ids, valid, tile_idx = args   # (K,), (K,), scalar
@@ -197,42 +282,10 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
 
         # recompute winner barycentrics differentiably
         wt = tri_ids[best]                                # (P,)
-        pw = tri_p[wt]                                    # (P, 3, 3)
-        aw, bw, cw = pw[:, 0], pw[:, 1], pw[:, 2]
-        qp = q[:, 0]                                      # (P, 2)
-        area_w = _edge(aw[:, :2], bw[:, :2], cw[:, :2])
-        sgn_w = jnp.where(cfg.cull_backface, 1.0, jnp.sign(area_w))
-        area_w = area_w * sgn_w
-        w0w = _edge(bw[:, :2], cw[:, :2], qp) * sgn_w
-        w1w = _edge(cw[:, :2], aw[:, :2], qp) * sgn_w
-        w2w = _edge(aw[:, :2], bw[:, :2], qp) * sgn_w
-        inv_area_w = 1.0 / jnp.where(jnp.abs(area_w) < 1e-12, 1e-12, area_w)
-        b0w, b1w, b2w = (w0w * inv_area_w, w1w * inv_area_w,
-                         w2w * inv_area_w)
-        # perspective-correct attribute barycentrics
-        iz0, iz1, iz2 = 1.0 / aw[:, 2], 1.0 / bw[:, 2], 1.0 / cw[:, 2]
-        denom = b0w * iz0 + b1w * iz1 + b2w * iz2
-        u = b1w * iz1 / denom
-        v = b2w * iz2 / denom
-        zpix = 1.0 / denom
-
-        # soft silhouette: signed pixel distance to nearest edge of winner
-        def edge_dist(pa, pb):
-            e = pb[:, :2] - pa[:, :2]
-            n = jnp.stack([-e[:, 1], e[:, 0]], -1) * sgn_w[:, None]
-            nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-            d = jnp.sum((qp - pa[:, :2]) * n / jnp.clip(nn, 1e-12, None), -1)
-            return d
-        d_edge = jnp.minimum(
-            jnp.minimum(edge_dist(aw, bw), edge_dist(bw, cw)),
-            edge_dist(cw, aw))
-        alpha_soft = jnp.clip(0.5 + d_edge, 0.0, 1.0) * hit
-
-        tri_out = jnp.where(hit, wt, -1)
-        return (tri_out.reshape(ts, ts),
-                jnp.stack([u, v], -1).reshape(ts, ts, 2) * hit.reshape(ts, ts, 1),
-                (zpix * hit).reshape(ts, ts),
-                hit.reshape(ts, ts).astype(jnp.float32),
+        tri_out, uv, zpix, hard, alpha_soft = _winner_outputs(
+            wt, hit, q[:, 0], tri_p, cfg.cull_backface)
+        return (tri_out.reshape(ts, ts), uv.reshape(ts, ts, 2),
+                zpix.reshape(ts, ts), hard.reshape(ts, ts),
                 alpha_soft.reshape(ts, ts))
 
     n_chunks = max(cfg.num_tiles // cfg.tile_chunk, 1)
@@ -243,14 +296,6 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
          jnp.arange(cfg.num_tiles, dtype=jnp.int32)),
         batch_size=min(cfg.tile_chunk, cfg.num_tiles))
     del n_chunks
-
-    def detile(x):
-        # (num_tiles, ts, ts, ...) -> (H, W, ...)
-        extra = x.shape[3:]
-        x = x.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, *extra)
-        x = jnp.swapaxes(x, 1, 2)
-        return x.reshape(cfg.tiles_y * ts, cfg.tiles_x * ts, *extra)[
-            : cfg.height, : cfg.width]
 
     return {"tri_id": detile(tri_id), "bary": detile(bary),
             "z": detile(z), "alpha_hard": detile(hard),

@@ -444,3 +444,42 @@ def test_tsdf_rgbd_to_mesh_sphere():
     empty = tsdf_to_mesh(out["tsdf"], out["weight"], out["color"],
                          bound=1.0, prune_thr=10 ** 6, mesh_reduction=0.0)
     assert len(empty.f) == 0
+
+
+def test_rasterize_pallas_backend_matches_xla():
+    """The Pallas selection kernel (interpret mode on CPU) must reproduce
+    the XLA tile shader: same winners, same differentiable outputs, and
+    gradients must flow through the winner recompute."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(3)
+    V, F = 400, 700
+    verts = jnp.asarray(rng.normal(0, 0.4, (V, 3)), jnp.float32)
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    fvalid = jnp.asarray(rng.random(F) > 0.1)
+    pose = jnp.asarray([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 2.5]],
+                       jnp.float32)
+    intr = jnp.asarray([80.0, 80.0, 32.0, 32.0])
+    pts = project_mesh(verts, pose, intr)
+
+    cfg_x = RasterConfig(height=64, width=64, backend="xla",
+                         k_per_tile=96, k_big=32, span=2)
+    cfg_p = replace(cfg_x, backend="pallas_interpret")
+    rx = rasterize(pts, faces, fvalid, cfg_x)
+    rp = rasterize(pts, faces, fvalid, cfg_p)
+
+    # selection may only differ on exact-tie boundary pixels: allow <0.2%
+    mism = int(jnp.sum(rx["tri_id"] != rp["tri_id"]))
+    assert mism <= rx["tri_id"].size // 500
+    same = (rx["tri_id"] == rp["tri_id"])
+    for k in ("bary", "z", "alpha", "alpha_hard"):
+        m = same if rx[k].ndim == 2 else same[..., None]
+        assert float(jnp.max(jnp.abs(
+            jnp.where(m, rx[k] - rp[k], 0.0)))) < 1e-5
+
+    def loss(v):
+        r = rasterize(project_mesh(v, pose, intr), faces, fvalid, cfg_p)
+        return jnp.sum(r["alpha"]) + jnp.sum(r["bary"]) + jnp.sum(r["z"])
+
+    g = jax.grad(loss)(verts)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
