@@ -34,10 +34,17 @@ def make_paper_config(code_lr=5e-3):
     )
 
 
-def build_denoiser_for(cfg, key, ch=128):
-    """Compact conv denoiser over the (3, C, H, W) latent (planes fold
-    into channels) — the paper's DDPM UNet analog at matched latent
-    geometry."""
+def build_denoiser_for(cfg, key, ch=128, layout="stack"):
+    """Compact conv denoiser over the (3, C, H, W) latent.
+
+    layout="stack": planes fold into channels, (H, W, P*C) image — the
+    paper's default (code_reshape=(P*C, H, W)).
+    layout="tiled": planes tile side-by-side spatially, (H, P*W, C) image
+    — the reference's `_tiled` recipe (new_cfgs/
+    ssdnerf_cars_recons1v_tiled.py: code_permute=(1,2,0,3) +
+    code_reshape=(C, H, P*W)), which keeps in_channels at C so plane
+    boundaries are seen by convs instead of channel mixing.
+    """
     from flax import linen as nn
     from mvedit_tpu.models.diffusion.unet import timestep_embedding
 
@@ -49,13 +56,18 @@ def build_denoiser_for(cfg, key, ch=128):
         @nn.compact
         def __call__(self, x, t, cond=None):
             B = x.shape[0]
-            h = x.transpose(0, 3, 4, 1, 2).reshape(B, H, W, P * C)
+            if layout == "tiled":
+                # (B, P, C, H, W) -> (B, H, P*W, C)
+                h = x.transpose(0, 3, 1, 4, 2).reshape(B, H, P * W, C)
+            else:
+                h = x.transpose(0, 3, 4, 1, 2).reshape(B, H, W, P * C)
             temb = timestep_embedding(t, self.ch)
             temb = nn.Dense(self.ch * 4, name="temb1")(temb)
             temb = nn.Dense(self.ch * 4, name="temb2")(jax.nn.silu(temb))
             h = nn.Conv(self.ch, (3, 3), padding=1, name="conv_in")(h)
             for i in range(4):
-                r = nn.GroupNorm(32, name=f"norm{i}")(h)
+                # ref tiled recipe uses GN groups 16 at ch=80; cap by ch
+                r = nn.GroupNorm(min(32, self.ch), name=f"norm{i}")(h)
                 r = jax.nn.silu(r)
                 r = nn.Conv(self.ch, (3, 3), padding=1, name=f"conv{i}a")(r)
                 r = r + nn.Dense(self.ch, name=f"tproj{i}")(
@@ -63,6 +75,9 @@ def build_denoiser_for(cfg, key, ch=128):
                 r = nn.Conv(self.ch, (3, 3), padding=1,
                             name=f"conv{i}b")(jax.nn.silu(r))
                 h = h + r
+            if layout == "tiled":
+                out = nn.Conv(C, (3, 3), padding=1, name="conv_out")(h)
+                return out.reshape(B, H, P, W, C).transpose(0, 2, 4, 1, 3)
             out = nn.Conv(P * C, (3, 3), padding=1, name="conv_out")(h)
             return out.reshape(B, H, W, P, C).transpose(0, 3, 4, 1, 2)
 

@@ -19,6 +19,7 @@ TPU-native rebuild of `lib/models/autoencoders/multiscene_nerf.py:34-268` +
 The renderer is the shared static-shape volume renderer; rays are sampled
 on host into static (B, R) buffers.
 """
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable
@@ -33,8 +34,8 @@ from .volume_renderer import RenderConfig, render_rays
 from . import gaussian_diffusion as GD
 from .diffusion import schedulers as S
 
-__all__ = ["SSDNeRFConfig", "SceneCodeCache", "make_train_step",
-           "tanh_code", "tanh_code_inverse"]
+__all__ = ["SSDNeRFConfig", "SceneCodeCache", "FileSceneCodeCache",
+           "make_train_step", "tanh_code", "tanh_code_inverse"]
 
 
 def tanh_code(code, scale=2.0):
@@ -92,6 +93,102 @@ class SceneCodeCache:
         obj = cls.__new__(cls)
         obj.codes, obj.m, obj.v, obj.steps = (
             d["codes"], d["m"], d["v"], d["steps"])
+        return obj
+
+    def get_code(self, i):
+        return self.codes[i]
+
+    def flush(self):
+        pass
+
+
+class FileSceneCodeCache:
+    """Disk-backed per-scene code cache with async file writers.
+
+    The reference's filesystem cache recipe
+    (configs/new_cfgs/stage1_cars_recons16v_16bit_filesystem.py:
+    `num_file_writers=4`, per-scene code files under `code_dir`, written
+    by `multiscene_nerf.py::MultiSceneNeRF.save_cache`) for training sets
+    whose scene codes exceed host RAM. API-compatible with
+    `SceneCodeCache`: `gather` reads the batch's per-scene ``.npz`` files
+    (missing -> zeros), `scatter` writes them back through a
+    `num_file_writers`-thread pool (the host overlaps serialization with
+    the next device step; a scene's pending write is awaited before any
+    re-read, so gather never sees torn state).
+    """
+
+    def __init__(self, num_scenes, code_shape, cache_dir,
+                 dtype=np.float16, num_file_writers=4):
+        import concurrent.futures as cf
+        os.makedirs(cache_dir, exist_ok=True)
+        self.num_scenes = int(num_scenes)
+        self.code_shape = tuple(code_shape)
+        self.cache_dir = cache_dir
+        self.dtype = np.dtype(dtype)
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_file_writers)
+        self._pending = {}          # scene id -> in-flight Future
+        self.steps = np.zeros((self.num_scenes,), np.int32)
+
+    def _path(self, i):
+        return os.path.join(self.cache_dir, f"scene_{int(i):08d}.npz")
+
+    def _wait(self, i):
+        fut = self._pending.pop(int(i), None)
+        if fut is not None:
+            fut.result()
+
+    def _read(self, i):
+        self._wait(i)
+        p = self._path(i)
+        if not os.path.exists(p):
+            z = np.zeros(self.code_shape, self.dtype)
+            return z, np.zeros_like(z), np.zeros_like(z)
+        with np.load(p) as d:
+            return d["code"], d["m"], d["v"]
+
+    def get_code(self, i):
+        return self._read(i)[0]
+
+    def gather(self, ids):
+        rows = [self._read(i) for i in np.asarray(ids).reshape(-1)]
+        return (jnp.asarray(np.stack([r[0] for r in rows]), jnp.float32),
+                jnp.asarray(np.stack([r[1] for r in rows]), jnp.float32),
+                jnp.asarray(np.stack([r[2] for r in rows]), jnp.float32),
+                jnp.asarray(self.steps[ids]))
+
+    def scatter(self, ids, codes, m, v, steps):
+        codes = np.asarray(codes, self.dtype)
+        m = np.asarray(m, self.dtype)
+        v = np.asarray(v, self.dtype)
+        self.steps[ids] = np.asarray(steps)
+
+        def write(path, c, mm, vv):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:   # np.savez would append .npz
+                np.savez(f, code=c, m=mm, v=vv)
+            os.replace(tmp, path)
+
+        for j, i in enumerate(np.asarray(ids).reshape(-1)):
+            self._wait(i)
+            self._pending[int(i)] = self._pool.submit(
+                write, self._path(i), codes[j], m[j], v[j])
+
+    def flush(self):
+        for i in list(self._pending):
+            self._wait(i)
+
+    def save(self, path=None):
+        """Codes already live on disk; just flush writers + dump steps."""
+        self.flush()
+        np.savez(os.path.join(self.cache_dir, "steps.npz"),
+                 steps=self.steps, code_shape=np.asarray(self.code_shape))
+
+    @classmethod
+    def load(cls, cache_dir, num_file_writers=4):
+        d = np.load(os.path.join(cache_dir, "steps.npz"))
+        obj = cls(len(d["steps"]), tuple(d["code_shape"]), cache_dir,
+                  num_file_writers=num_file_writers)
+        obj.steps = d["steps"].copy()
         return obj
 
 

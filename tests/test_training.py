@@ -101,6 +101,63 @@ def test_scene_code_cache_roundtrip(tmp_path):
     np.testing.assert_allclose(c2.codes, cache.codes)
 
 
+def test_file_scene_code_cache(tmp_path):
+    """Filesystem cache backend (ref new_cfgs/*_filesystem.py): disk
+    round-trip via async writers, zeros for untouched scenes, reload."""
+    from mvedit_tpu.models.ssdnerf import FileSceneCodeCache
+
+    d = str(tmp_path / "code")
+    cache = FileSceneCodeCache(5, (3, 4, 8, 8), d, num_file_writers=2)
+    ids = np.array([1, 3])
+    codes, m, v, steps = cache.gather(ids)
+    assert float(jnp.abs(codes).max()) == 0.0
+    cache.scatter(ids, codes + 1.0, m + 0.5, v, steps + 2)
+    # immediate re-read must await the in-flight write (no torn state)
+    codes2, m2, _, steps2 = cache.gather(ids)
+    np.testing.assert_allclose(np.asarray(codes2), 1.0)
+    np.testing.assert_allclose(np.asarray(m2), 0.5)
+    assert int(steps2[1]) == 2
+    assert cache.get_code(3).mean() == pytest.approx(1.0, abs=1e-3)
+    # untouched scene stays zero; only touched scenes hit disk
+    z, *_ = cache.gather(np.array([0]))
+    assert float(jnp.abs(z).max()) == 0.0
+    cache.save()
+    c2 = FileSceneCodeCache.load(d)
+    assert c2.num_scenes == 5 and int(c2.steps[3]) == 2
+    np.testing.assert_allclose(np.asarray(c2.get_code(1)), 1.0)
+
+
+def test_tiled_latent_denoiser_layout():
+    """Tiled layout (ref new_cfgs/ssdnerf_cars_recons1v_tiled.py): the
+    denoiser must be equivariant to which plane holds the signal ONLY up
+    to conv locality — concretely, output shape matches and plane k of the
+    output depends on plane k of the input (tiled spatially, not mixed as
+    channels)."""
+    import importlib.util, os as _os
+    spec = importlib.util.spec_from_file_location(
+        "_ssdnerf_paper_base",
+        _os.path.join(_os.path.dirname(__file__), "..", "configs",
+                      "_ssdnerf_paper_base.py"))
+    base = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(base)
+    cfg = SSDNeRFConfig(latent_shape=(3, 4, 8, 8))
+    _, apply_fn, params = base.build_denoiser_for(
+        cfg, jax.random.PRNGKey(0), ch=16, layout="tiled")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 8, 8))
+    out = apply_fn(params, x, jnp.zeros((2,), jnp.int32))
+    assert out.shape == x.shape
+    # locality: perturbing plane 0 far from the seam changes plane 0
+    # strongly but plane 2's far edge only weakly (GroupNorm is spatially
+    # global so the cross-plane leak is nonzero, but conv locality keeps
+    # it orders of magnitude below the perturbed plane's response)
+    x2 = x.at[:, 0, :, :, 0].add(10.0)
+    d = jnp.abs(apply_fn(params, x2, jnp.zeros((2,), jnp.int32)) - out)
+    near = float(d[:, 0].max())
+    far = float(d[:, 2, :, :, -1].max())
+    assert near > 1e-3
+    assert far < 0.1 * near
+
+
 def test_sample_from_noise_runs():
     sch = S.sd_schedule(prediction_type="v_prediction")
     params = {"w": jnp.asarray([0.5])}

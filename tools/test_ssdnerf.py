@@ -46,8 +46,13 @@ def main():
         recons_views = cfg_mod.train_config.get("recons_views", 0)
     cache = None
     if not recons_views:
-        cache = SceneCodeCache.load(
-            os.path.join(args.work_dir, "scene_cache.npz"))
+        npz = os.path.join(args.work_dir, "scene_cache.npz")
+        if os.path.exists(npz):
+            cache = SceneCodeCache.load(npz)
+        else:  # filesystem cache backend (configs/*_filesystem.py)
+            from mvedit_tpu.models.ssdnerf import FileSceneCodeCache
+            cache = FileSceneCodeCache.load(
+                os.path.join(args.work_dir, "code"))
     print(f"eval at step {step}"
           + (f", {recons_views}-view reconstruction" if recons_views
              else ", cached codes"))
@@ -89,7 +94,7 @@ def main():
             code = tanh_code(code_raw)[0]
             eval_idx = k
         else:
-            code = tanh_code(jnp.asarray(cache.codes[i], jnp.float32))
+            code = tanh_code(jnp.asarray(cache.get_code(i), jnp.float32))
             eval_idx = 0
         pose = jnp.asarray(scene["poses"][eval_idx:eval_idx + 1])
         intr = jnp.asarray(scene["intrinsics"][eval_idx:eval_idx + 1])

@@ -42,8 +42,9 @@ def main():
     import numpy as np
     import optax
     from mvedit_tpu.datasets import ShapeNetSRN, ray_batch_iterator
-    from mvedit_tpu.models.ssdnerf import (SceneCodeCache, make_train_step,
-                                           SSDNeRFConfig)
+    from mvedit_tpu.models.ssdnerf import (SceneCodeCache,
+                                           FileSceneCodeCache,
+                                           make_train_step, SSDNeRFConfig)
     from mvedit_tpu.models.triplane import triplane_init
     from mvedit_tpu.models.diffusion import schedulers as S
     from mvedit_tpu.runner.trainer import (Trainer, EmaHook, CheckpointHook,
@@ -59,13 +60,32 @@ def main():
     # stage-2 recipes warm-start from a stage-1 scene-code cache
     # (reference configs/paper_cfgs/stage2_cars_*.py load_cache)
     init_cache = train_cfg.get("init_scene_cache")
-    if init_cache:
+    cache_dtype = train_cfg.get("cache_dtype", "float16")
+    if train_cfg.get("cache_backend") == "filesystem":
+        # reference new_cfgs/*_filesystem.py: per-scene code files +
+        # num_file_writers async writers (codes exceed host RAM)
+        code_dir = os.path.join(args.work_dir, "code")
+        if init_cache or (args.resume and
+                          os.path.exists(os.path.join(code_dir,
+                                                      "steps.npz"))):
+            cache = FileSceneCodeCache.load(
+                init_cache or code_dir,
+                num_file_writers=train_cfg.get("num_file_writers", 4))
+            print(f"loaded filesystem scene-code cache "
+                  f"({cache.num_scenes} scenes)")
+        else:
+            cache = FileSceneCodeCache(
+                len(dataset), cfg.latent_shape, code_dir,
+                dtype=cache_dtype,
+                num_file_writers=train_cfg.get("num_file_writers", 4))
+    elif init_cache:
         path = init_cache if os.path.isabs(init_cache) else \
             os.path.join(args.work_dir, init_cache)
         cache = SceneCodeCache.load(path)
         print(f"loaded scene-code cache from {path}")
     else:
-        cache = SceneCodeCache(len(dataset), cfg.latent_shape)
+        cache = SceneCodeCache(len(dataset), cfg.latent_shape,
+                               dtype=cache_dtype)
 
     key = jax.random.PRNGKey(args.seed)
     schedule = S.sd_schedule(prediction_type="v_prediction")
@@ -147,7 +167,8 @@ def main():
             psnrs = []
             for i in range(min(args.eval_scenes, len(dataset))):
                 scene = dataset[i]
-                code = tanh_code(jnp.asarray(cache.codes[i], jnp.float32))
+                code = tanh_code(jnp.asarray(cache.get_code(i),
+                                             jnp.float32))
                 h, w = scene["hw"]
                 ro, rd = get_cam_rays(
                     jnp.asarray(scene["poses"][:1]),
