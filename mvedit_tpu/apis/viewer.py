@@ -142,6 +142,20 @@ class SSDNeRFViewer(OrbitViewer):
         mesh.write(path)
         return mesh
 
+    def export_vdb(self, path, resolution=256, sparse_threshold=0.01,
+                   bound=1.0):
+        """'Export volume' (ssdnerf_gui.py:1058): density grid -> OpenVDB."""
+        if self.density_fn is None:
+            raise ValueError("density_fn required for volume export")
+        from ..utils.vdb import save_vdb
+        ax = np.linspace(-bound, bound, resolution, dtype=np.float32)
+        pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
+                       -1).reshape(-1, 3)
+        sigma = np.asarray(self.density_fn(pts)).reshape(
+            resolution, resolution, resolution)
+        save_vdb(path, sigma, sparse_threshold)
+        return sigma
+
     def export_screenshot(self, path, azimuth=0.0):
         """'Export screenshot' (ssdnerf_gui.py:524-527)."""
         img = self.frame(azimuth)
