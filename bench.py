@@ -72,6 +72,9 @@ def main():
         return eps_u + 7.5 * (eps_c - eps_u)
 
     dt = _timeit(denoise_step, params, x, t, ctx)
+    # BENCH_r01.json recorded 3.3246 steps/s on this exact metric; report
+    # the ratio so the driver's record is self-describing across rounds.
+    R1_STEPS_PER_S = 3.3246
 
     # ---- production-default conditioning: reference pairs --------------
     # (DenoiseModels.use_reference, the reference's get_noise_pred
@@ -138,7 +141,7 @@ def main():
         "metric": "6-view UNet CFG denoise steps/sec (512^2, joint attn)",
         "value": round(1.0 / dt, 4),
         "unit": "steps/s",
-        "vs_baseline": None,
+        "vs_baseline": round(1.0 / dt / R1_STEPS_PER_S, 4),
         # production default (use_reference): uncond per-view + cond
         # [ref, target] pairs — the conditioning the pipelines run
         "refpair_denoise_steps_per_s": round(1.0 / dt_rp, 4),
