@@ -49,10 +49,12 @@ def pose_to_w2c(pose_c2w):
     return jnp.concatenate([r.T, (-r.T @ t)[:, None]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "shading_fun", "ssaa"))
+@partial(jax.jit, static_argnames=("cfg", "shading_fun", "ssaa",
+                                   "sequential"))
 def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
                  cfg: RasterConfig, shading_fun=None, ssaa=1,
-                 bg_color=1.0, vert_attrs=None, shading_params=None):
+                 bg_color=1.0, vert_attrs=None, shading_params=None,
+                 sequential=False):
     """Render N views of one triangle soup.
 
     Args:
@@ -66,6 +68,12 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
             hash: jit would bake the arrays in as constants (HBM copies)
             and silently reuse STALE values on cache hits.
         vert_attrs: optional dict of (V, C) attributes to interpolate.
+        sequential: lax.map over the view axis instead of vmap — the
+            raster working set stays at ONE view (vmapping all N views
+            multiplies it N-fold and OOMs at 512^2) while the whole
+            multi-view render remains a single compiled program / single
+            host dispatch (the tunneled device pays ~27 ms per dispatch,
+            PERF.md).
     Returns dict of (N, H, W, ...): rgb (if shading_fun), xyz, normal,
         depth, alpha, alpha_hard + interpolated vert_attrs.
     """
@@ -108,7 +116,11 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
             out["rgb"] = rgb * a + bg_color * (1 - a)
         return out
 
-    out = jax.vmap(one_view)(poses_c2w, intrinsics if ssaa == 1 else intr_r)
+    intr_in = intrinsics if ssaa == 1 else intr_r
+    if sequential:
+        out = jax.lax.map(lambda a: one_view(*a), (poses_c2w, intr_in))
+    else:
+        out = jax.vmap(one_view)(poses_c2w, intr_in)
     if ssaa > 1:
         def pool(x):
             n, h, w = x.shape[:3]

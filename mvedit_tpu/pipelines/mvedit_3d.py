@@ -877,32 +877,32 @@ class MVEdit3DPipeline:
         N = tgt["poses"].shape[0]
         intr = tgt["intrinsics"] * (rs / cfg.render_size)
         if mesh_state is None:
-            render = NF.make_image_renderer(
+            # all N views in ONE program (lax.map over views — single-view
+            # working set, single host dispatch; the tunneled device pays
+            # ~27 ms per dispatch, so per-view Python loops cost ~N x 27 ms
+            # of pure overhead every timestep)
+            render = NF.make_multiview_renderer(
                 self._decode_fn, rs, rs, cfg.render, chunk=rs * 128)
-            outs = [render(nerf_params, tgt["poses"][i], intr[i], grid)
-                    for i in range(N)]
-            return {
-                "rgb": jnp.stack([o["rgb"] for o in outs]),
-                "depth": jnp.stack([o["depth"] for o in outs]),
-                "alpha": jnp.stack([o["alpha"] for o in outs])[..., None],
-            }
+            out = render(nerf_params, tgt["poses"], intr, grid)
+            return {"rgb": out["rgb"], "depth": out["depth"],
+                    "alpha": out["alpha"][..., None]}
         mt = last_mt
         from ..models.fields import FieldShading
         shading_fun = FieldShading(cfg.ingp)
         rc = self._mesh_raster_cfg(rs)
-        # one view per call: vmapping all N views multiplies the raster
-        # working set N-fold and OOMs at 512^2. Field params ride as the
-        # TRACED shading_params arg — the old closure form baked them in
-        # as per-program constants (HBM duplicates) and reused stale
-        # values on jit cache hits.
-        outs = [render_views(mt["verts"], mt["faces"], mt["face_mask"],
-                             tgt["poses"][i:i + 1], intr[i:i + 1], rc,
-                             shading_fun=shading_fun,
-                             shading_params=mesh_state["field"])
-                for i in range(N)]
-        return {"rgb": jnp.concatenate([o["rgb"] for o in outs]),
-                "depth": jnp.concatenate([o["depth"] for o in outs]),
-                "alpha": jnp.concatenate([o["alpha"] for o in outs])}
+        # sequential=True: lax.map over views — vmapping all N views
+        # multiplies the raster working set N-fold and OOMs at 512^2,
+        # while per-view calls pay N host dispatches. Field params ride
+        # as the TRACED shading_params arg — the old closure form baked
+        # them in as per-program constants (HBM duplicates) and reused
+        # stale values on jit cache hits.
+        out = render_views(mt["verts"], mt["faces"], mt["face_mask"],
+                           tgt["poses"], intr, rc,
+                           shading_fun=shading_fun,
+                           shading_params=mesh_state["field"],
+                           sequential=True)
+        return {"rgb": out["rgb"], "depth": out["depth"],
+                "alpha": out["alpha"]}
 
     def _compact_mesh(self, mt):
         verts = np.asarray(mt["verts"])

@@ -152,7 +152,8 @@ class TexturePipeline:
                           width=self.cfg.render_size)
         out = render_views(
             jnp.asarray(mesh.v), jnp.asarray(mesh.f),
-            jnp.ones((len(mesh.f),), bool), poses, intrinsics, rc)
+            jnp.ones((len(mesh.f),), bool), poses, intrinsics, rc,
+            sequential=True)
         weight = camera_dense_weighting(out["normal"], poses, out["alpha"])
         return {"xyz": out["xyz"], "alpha": out["alpha"],
                 "normal": out["normal"], "depth": out["depth"],

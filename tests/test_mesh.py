@@ -483,3 +483,64 @@ def test_rasterize_pallas_backend_matches_xla():
 
     g = jax.grad(loss)(verts)
     assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+
+def test_render_views_sequential_matches_vmap():
+    """sequential=True (lax.map over views, one dispatch + one-view working
+    set — the MVEdit render-all-views phase) must equal the vmap path."""
+    from mvedit_tpu.models.mesh.renderer import render_views
+    from mvedit_tpu.utils import camera as cu
+    rng = np.random.default_rng(3)
+    verts = jnp.asarray(rng.uniform(-0.5, 0.5, (24, 3)), jnp.float32)
+    faces = jnp.asarray(rng.integers(0, 24, (10, 3)), jnp.int32)
+    fmask = jnp.asarray(rng.random(10) > 0.2)
+    poses = jnp.asarray(cu.get_pose_from_angles(
+        np.array([0.0, 2.0, 4.0]), np.array([0.3, 0.0, -0.2]), 2.5),
+        jnp.float32)
+    intr = jnp.asarray(np.tile([40.0, 40.0, 16.0, 16.0], (3, 1)),
+                       jnp.float32)
+    cfg = RasterConfig(height=32, width=32)
+
+    def shade(params, xyz, normal, view_dir):
+        return jnp.clip(normal * 0.5 + 0.5, 0, 1) * params
+
+    a = render_views(verts, faces, fmask, poses, intr, cfg,
+                     shading_fun=shade, shading_params=jnp.float32(0.9))
+    b = render_views(verts, faces, fmask, poses, intr, cfg,
+                     shading_fun=shade, shading_params=jnp.float32(0.9),
+                     sequential=True)
+    for k in a:
+        assert a[k].shape == b[k].shape
+        assert float(jnp.max(jnp.abs(a[k] - b[k]))) < 1e-5, k
+
+
+def test_multiview_renderer_matches_per_view():
+    """make_multiview_renderer (ONE program, lax.map over views) must equal
+    per-view make_image_renderer calls."""
+    from functools import partial
+    from mvedit_tpu.models import nerf_fit as NF
+    from mvedit_tpu.models.fields import (INGPConfig, ingp_init,
+                                          ingp_point_decode)
+    from mvedit_tpu.models.volume_renderer import RenderConfig, OccupancyGrid
+    from mvedit_tpu.utils import camera as cu
+    icfg = INGPConfig(hidden_dim=8)
+    params = ingp_init(jax.random.PRNGKey(0), icfg)
+
+    def decode(p, x):
+        return ingp_point_decode(p, x, icfg)
+
+    rcfg = RenderConfig(num_samples=16, grid_size=16)
+    grid = OccupancyGrid.create(16)
+    poses = jnp.asarray(cu.get_pose_from_angles(
+        np.array([0.0, 1.5]), np.array([0.3, 0.1]), 2.5), jnp.float32)
+    intr = jnp.asarray(np.tile([32.0, 32.0, 8.0, 8.0], (2, 1)), jnp.float32)
+    r1 = NF.make_image_renderer(decode, 16, 16, rcfg, chunk=128)
+    rN = NF.make_multiview_renderer(decode, 16, 16, rcfg, chunk=128)
+    out = rN(params, poses, intr, grid)
+    assert out["rgb"].shape == (2, 16, 16, 3)
+    assert out["depth"].shape == (2, 16, 16)
+    for i in range(2):
+        ref = r1(params, poses[i], intr[i], grid)
+        for k in ("rgb", "depth", "alpha"):
+            assert float(jnp.max(jnp.abs(out[k][i] - ref[k]))) < 1e-5, k
+    NF.clear_renderer_cache(16)
