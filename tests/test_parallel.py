@@ -9,10 +9,10 @@ from mvedit_tpu.parallel import dryrun, dryrun_pipeline
 from mvedit_tpu.parallel.sharded import make_mesh
 
 
-@pytest.mark.slow
 def test_dryrun_multichip_8():
-    """Full tiny MVEdit timestep loop sharded over 8 devices (what the
-    driver's dryrun_multichip exercises)."""
+    """The driver-gate dryrun: sharded denoise + sharded NeRF fit step
+    over 8 devices (cheap by design — the full pipeline-over-mesh run is
+    the slow test below)."""
     assert len(jax.devices()) >= 8
     dryrun(8)
 
