@@ -54,6 +54,9 @@ class Zero123PlusConfig:
     grid_hw: tuple = (960, 640)      # 3x2 grid of 320x320 views
     cond_scale: float = 1.0
     shift_views: bool = False        # v1.2 latent roll
+    # the reference samples Zero123++ with EulerAncestralDiscreteScheduler
+    # (adapter3d.py:387-389); 'dpmsolver' kept as a faster 2nd-order option
+    sampler: str = "euler_ancestral"
 
 
 class Zero123PlusPipeline:
@@ -139,12 +142,17 @@ class Zero123PlusPipeline:
 
         solver_state = S.SolverState.init(latents.shape)
         for i, t in enumerate(timesteps):
-            key, kr = jax.random.split(key)
+            key, kr, ks = jax.random.split(key, 3)
             model_out = denoise(self.m.unet_params, latents, int(t), kr)
             t_prev = int(timesteps[i + 1]) if i + 1 < len(timesteps) else -1
-            latents, solver_state = S.dpmsolver_step(
-                sch, latents, model_out, jnp.asarray(int(t)),
-                jnp.asarray(t_prev), solver_state)
+            if cfg.sampler == "euler_ancestral":
+                latents = S.euler_ancestral_step(
+                    sch, latents, model_out, jnp.asarray(int(t)),
+                    jnp.asarray(t_prev), ks)
+            else:
+                latents, solver_state = S.dpmsolver_step(
+                    sch, latents, model_out, jnp.asarray(int(t)),
+                    jnp.asarray(t_prev), solver_state)
 
         latents = unscale_latents(latents)
         if cfg.shift_views:

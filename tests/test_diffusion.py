@@ -174,3 +174,161 @@ def test_get_noise_scales_interpolates():
     sa1, sn1 = sch.sqrt_acp(jnp.array(501))
     assert min(sa0, sa1) <= sa <= max(sa0, sa1)
     assert sa ** 2 + sn ** 2 == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# scheduler goldens: analytic exactness + independent numpy re-derivations
+# (diffusers is not installed in this env; these pin the hand-derived
+# sampler math against closed forms and a second, independent derivation)
+# ---------------------------------------------------------------------------
+
+def test_timesteps_trailing_golden_24():
+    """SD image-to-3D default (24 steps): literal trailing-spacing vector,
+    diffusers timestep_spacing='trailing' semantics."""
+    np.testing.assert_array_equal(
+        S.make_timesteps(24, 1000, "trailing"),
+        [999, 957, 916, 874, 832, 791, 749, 707, 666, 624, 582, 541,
+         499, 457, 416, 374, 332, 291, 249, 207, 166, 124, 82, 41])
+
+
+def test_karras_sigmas_golden_12():
+    """Karras rho=7 respacing of the SD scaled-linear schedule: committed
+    golden sigmas + nearest-timestep mapping."""
+    sch = S.sd_schedule()
+    sig, ts = S.karras_sigmas(sch, 12)
+    np.testing.assert_allclose(
+        sig, [14.614641, 9.945197, 6.617713, 4.294064, 2.708034, 1.653173,
+              0.972113, 0.547239, 0.292622, 0.147135, 0.068639, 0.029167],
+        rtol=1e-5)
+    np.testing.assert_array_equal(
+        ts, [999, 933, 854, 761, 646, 506, 345, 190, 78, 23, 4, 0])
+
+
+def _oracle_eps(sch, x, x0, t):
+    sa, sn = sch.sqrt_acp(jnp.array(t))
+    return (x - sa * x0) / sn
+
+
+def test_dpmsolver_exact_for_constant_x0():
+    """DPM-Solver++ is EXACT (both orders) when the model's x0-prediction
+    is constant: the probability-flow ODE solution is
+    x_t = alpha_t * x0 + sigma_t * c, so every intermediate latent must lie
+    on that curve to machine precision. Pins the alpha/sigma/lambda/h
+    algebra including all signs."""
+    sch = S.sd_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 2))
+    c = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ts = S.make_timesteps(10, 1000, "trailing")
+    acp = jnp.asarray(sch.alphas_cumprod, jnp.float32)
+
+    def on_curve(t):
+        a = acp[t]
+        return jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * c
+
+    x = on_curve(int(ts[0]))
+    state = S.SolverState.init(x.shape)
+    for i, t in enumerate(ts[:-1]):
+        t_prev = int(ts[i + 1])
+        model_eps = _oracle_eps(sch, x, x0, int(t))
+        x, state = S.dpmsolver_step(sch, x, model_eps, jnp.array(int(t)),
+                                    jnp.array(t_prev), state)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.asarray(on_curve(t_prev)),
+                                   atol=2e-5)
+
+
+def test_ddim_exact_on_curve_every_step():
+    """Same closed form for DDIM (eta=0): with an exact-eps oracle the
+    trajectory stays on x_t = alpha_t x0 + sigma_t eps at EVERY step, not
+    just the endpoint."""
+    sch = S.sd_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ts = S.make_timesteps(8, 1000, "trailing")
+    acp = jnp.asarray(sch.alphas_cumprod, jnp.float32)
+    x = jnp.sqrt(acp[int(ts[0])]) * x0 + jnp.sqrt(1 - acp[int(ts[0])]) * eps
+    for i, t in enumerate(ts[:-1]):
+        t_prev = int(ts[i + 1])
+        x = S.ddim_step(sch, x, _oracle_eps(sch, x, x0, int(t)),
+                        jnp.array(int(t)), jnp.array(t_prev))
+        want = (jnp.sqrt(acp[t_prev]) * x0
+                + jnp.sqrt(1 - acp[t_prev]) * eps)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(want),
+                                   atol=2e-5)
+
+
+def _np_euler_ancestral(acp, x, model_eps, t, t_prev, noise):
+    """Independent numpy EulerAncestralDiscrete step (diffusers semantics,
+    sigma space; our API keeps samples in sqrt(acp)-scaled DDPM space)."""
+    sig = np.sqrt((1 - acp) / acp)
+    s_t = sig[t]
+    s_p = sig[t_prev] if t_prev >= 0 else 0.0
+    x_sig = x / np.sqrt(acp[t])
+    x0 = x_sig - s_t * model_eps  # epsilon pred in sigma space
+    sigma_up = np.sqrt(s_p ** 2 * (s_t ** 2 - s_p ** 2) / s_t ** 2)
+    sigma_down = np.sqrt(s_p ** 2 - sigma_up ** 2)
+    d = (x_sig - x0) / s_t
+    x_sig = x_sig + d * (sigma_down - s_t) + noise * sigma_up
+    a_p = acp[t_prev] if t_prev >= 0 else 1.0
+    return x_sig * np.sqrt(a_p)
+
+
+def test_euler_ancestral_matches_numpy_rederivation():
+    sch = S.sd_schedule()
+    acp = np.asarray(sch.alphas_cumprod, np.float64)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 2)))
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(4), x.shape))
+    for t, t_prev in [(999, 749), (749, 499), (249, -1)]:
+        key = jax.random.PRNGKey(t)
+        noise = np.asarray(jax.random.normal(key, x.shape))
+        got = S.euler_ancestral_step(sch, jnp.asarray(x), jnp.asarray(eps),
+                                     jnp.array(t), jnp.array(t_prev), key)
+        want = _np_euler_ancestral(acp, x, eps, t, t_prev, noise)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=1e-4, rtol=1e-4)
+
+
+def _np_dpmsolver_2m_step(acp, x, eps, t, tp, prev_x0, prev_lam, has_prev):
+    """Independent numpy DPM-Solver++(2M) single step (diffusers
+    DPMSolverMultistepScheduler, algorithm_type='dpmsolver++',
+    solver_order=2; first step first-order)."""
+    a_t = acp[t]
+    a_p = acp[tp] if tp >= 0 else 1.0 - 1e-7
+    al_t, sg_t = np.sqrt(a_t), np.sqrt(1 - a_t)
+    al_p, sg_p = np.sqrt(a_p), np.sqrt(max(1 - a_p, 1e-12))
+    lam_t, lam_p = np.log(al_t / sg_t), np.log(al_p / sg_p)
+    h = lam_p - lam_t
+    x0 = (x - sg_t * eps) / al_t
+    out = (sg_p / sg_t) * x - al_p * (np.exp(-h) - 1.0) * x0
+    if has_prev:
+        r0 = (lam_t - prev_lam) / h
+        d1 = (x0 - prev_x0) / r0
+        out = out - 0.5 * al_p * (np.exp(-h) - 1.0) * d1
+    return out, x0, lam_t
+
+
+def test_dpmsolver_matches_numpy_rederivation():
+    """Each step of a 12-step affine-model trajectory must match the
+    independent numpy implementation on identical inputs (per-step
+    comparison isolates the solver math from fp32 trajectory drift)."""
+    sch = S.sd_schedule()
+    acp = np.asarray(sch.alphas_cumprod, np.float64)
+    b = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 2)))
+    ts = [int(t) for t in S.make_timesteps(12, 1000, "trailing")]
+    x = jnp.asarray(jax.random.normal(jax.random.PRNGKey(6), (1, 4, 4, 2)))
+    state = S.SolverState.init(x.shape)
+    prev_x0, prev_lam, has_prev = None, None, False
+    for i, t in enumerate(ts):
+        tp = ts[i + 1] if i + 1 < len(ts) else -1
+        eps = 0.3 * x + 0.1 * jnp.asarray(b)  # affine: exercises D1
+        want, prev_x0, prev_lam = _np_dpmsolver_2m_step(
+            acp, np.asarray(x, np.float64), np.asarray(eps, np.float64),
+            t, tp, prev_x0, prev_lam, has_prev)
+        has_prev = True
+        x, state = S.dpmsolver_step(sch, x, eps, jnp.array(t),
+                                    jnp.array(tp), state)
+        # fp32 sampler vs fp64 reference: the final (t_prev=-1) step's x0
+        # amplification (1/alpha_t ~ 14x) leaves ~2e-3 relative fp32 noise;
+        # 5e-3 still catches any sign/term slip (those are O(1))
+        np.testing.assert_allclose(np.asarray(x), want,
+                                   atol=5e-4, rtol=5e-3)
