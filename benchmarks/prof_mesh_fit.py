@@ -1,0 +1,143 @@
+"""Phase profile of the DMTet mesh-fit step at production scale (tet 128,
+512^2, render_bs 2) — the single largest e2e cost (PERF.md: ~7.2 s/step).
+
+Times, separately:
+  1. marching_tets_compact extraction (fwd only)
+  2. rasterize+shade render fwd of the extracted mesh
+  3. one full fit step (value_and_grad + adam)
+  4. an 8-step fit program (the pipeline's fit_steps_per_program),
+     amortized per step
+"""
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from mvedit_tpu.models.mesh.dmtet import build_grid_tets
+from mvedit_tpu.models import mesh_fit as MF
+from mvedit_tpu.models.mesh.rasterize import RasterConfig
+from mvedit_tpu.models.mesh.renderer import render_views
+from mvedit_tpu.models.fields import INGPConfig, ingp_init, ingp_point_decode
+from mvedit_tpu.ops.dense_grid import DenseGridConfig
+from mvedit_tpu.apis.cameras import surround_rig
+from mvedit_tpu.utils import camera as cam_utils
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--res", type=int, default=128)
+ap.add_argument("--size", type=int, default=512)
+ap.add_argument("--steps", type=int, default=8)
+ap.add_argument("--no-lpips", action="store_true")
+args = ap.parse_args()
+
+res, size = args.res, args.size
+print(f"tet res {res}, render {size}^2", flush=True)
+
+grid = build_grid_tets(res)
+print(f"grid: V={len(grid.verts)} T={len(grid.tets)}", flush=True)
+
+ingp = INGPConfig(backend="dense",
+                  dense=DenseGridConfig(resolutions=(32, 160)))
+key = jax.random.PRNGKey(0)
+field = ingp_init(key, ingp)
+
+vert_cap = 1 << max(9, (16 * res * res - 1).bit_length())
+rc = RasterConfig(height=size, width=size, span=2,
+                  k_per_tile=768 if size >= 256 else 256,
+                  tile_chunk=64 if size >= 512 else 256)
+mcfg = MF.MeshFitConfig(raster=rc, n_steps=args.steps,
+                        patch_size=min(128, size),
+                        vert_cap=vert_cap,
+                        face_cap=vert_cap + (vert_cap >> 1))
+
+
+def color_fn(p, x):
+    return ingp_point_decode(p, x, ingp)[1]
+
+
+fit, opt, extract = MF.make_mesh_fit(grid, color_fn, mcfg)
+
+# sphere-ish sdf + targets
+v = np.asarray(grid.verts)
+sdf0 = (0.7 - np.linalg.norm(v, axis=-1)).astype(np.float32)
+state = {"field": field, "sdf": jnp.asarray(sdf0),
+         "deform": jnp.zeros((len(v), 3), jnp.float32)}
+
+N = 8
+rng = np.random.default_rng(0)
+poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size, rng=rng)
+lights, _ = cam_utils.light_sampling(poses, rng=rng)
+targets = {"images": jnp.full((N, size, size, 3), 0.5),
+           "masks": jnp.ones((N, size, size, 1)),
+           "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
+           "cam_weights": jnp.ones((N,)), "cam_lights": jnp.asarray(lights)}
+
+lpips_params = None
+if not args.no_lpips:
+    from mvedit_tpu.models.losses import lpips_init
+    lpips_params = lpips_init(jax.random.PRNGKey(1))
+
+
+def tmit(f, *a, n=4, **kw):
+    out = f(*a, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*a, **kw)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+# 1. extract fwd
+t, mt = tmit(extract, state)
+nv = int(jnp.sum(mt["vert_mask"])) if "vert_mask" in mt else -1
+nf = int(jnp.sum(mt["face_mask"]))
+print(f"extract fwd: {t*1e3:.1f} ms (V={mt['verts'].shape[0]} "
+      f"used={nv}, F={mt['faces'].shape[0]} used={nf})", flush=True)
+
+
+# 2. render fwd (raster + field shading), render_bs views
+@jax.jit
+def render_fwd(state, mt):
+    def shading_fun(xyz, normal, view_dir):
+        return color_fn(state["field"], xyz)
+    return render_views(mt["verts"], mt["faces"], mt["face_mask"],
+                        targets["poses"][:mcfg.render_bs],
+                        targets["intrinsics"][:mcfg.render_bs],
+                        rc, shading_fun=shading_fun)["rgb"]
+
+
+t, _ = tmit(render_fwd, state, mt)
+print(f"render fwd ({mcfg.render_bs} views): {t*1e3:.1f} ms", flush=True)
+
+# 3/4. fit programs
+opt_state = opt.init(state)
+fit1, _, _ = MF.make_mesh_fit(grid, color_fn,
+                              MF.MeshFitConfig(
+                                  raster=rc, n_steps=1,
+                                  patch_size=min(128, size),
+                                  vert_cap=vert_cap,
+                                  face_cap=vert_cap + (vert_cap >> 1)))
+t0 = time.perf_counter()
+out1 = fit1(state, opt_state, targets, jax.random.PRNGKey(2),
+            lpips_params=lpips_params)
+jax.block_until_ready(out1)
+print(f"fit 1-step compile+run: {time.perf_counter()-t0:.0f} s", flush=True)
+t, _ = tmit(fit1, state, opt_state, targets, jax.random.PRNGKey(2), n=3,
+            lpips_params=lpips_params)
+print(f"fit 1 step: {t*1e3:.1f} ms", flush=True)
+
+t0 = time.perf_counter()
+outn = fit(state, opt_state, targets, jax.random.PRNGKey(2),
+           lpips_params=lpips_params)
+jax.block_until_ready(outn)
+print(f"fit {args.steps}-step compile+run: {time.perf_counter()-t0:.0f} s",
+      flush=True)
+t, _ = tmit(fit, state, opt_state, targets, jax.random.PRNGKey(2), n=2,
+            lpips_params=lpips_params)
+print(f"fit {args.steps}-step program: {t*1e3:.1f} ms "
+      f"({t*1e3/args.steps:.1f} ms/step amortized)", flush=True)

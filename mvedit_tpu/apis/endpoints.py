@@ -269,6 +269,12 @@ class EndpointsMixin:
                                       [negative_prompt] * num_views)
         pipe = MVEdit3DPipeline(m, cfg)
         out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)
+        # superres BEFORE un-normalization: the field lives in the
+        # normalized space (ref run_3d_to_3d -> proc_texture_superres,
+        # adapter3d.py:1038-1044)
+        out = self._chain_superres(out, "nerf_params", prompt,
+                                   negative_prompt, seed,
+                                   kwargs.get("superres", False))
         if out_path and out["mesh"] is not None:
             verts = out["mesh"].v
             out["mesh"].v = (verts / pre["scale"]
@@ -464,17 +470,26 @@ class EndpointsMixin:
             self.enable_ip_adapter(m, jnp.asarray(image, jnp.float32))
         pipe = MVEdit3DPipeline(m, cfg)
         out = pipe(targets, jax.random.PRNGKey(seed), pos, neg)
+        # texture super-res as the final stage, field handed over live
+        # (ref run_zero123plus_to_mesh -> proc_texture_superres via
+        # ingp_states, adapter3d.py:848-857)
+        out = self._chain_superres(out, "nerf_params", prompt,
+                                   kwargs.get("negative_prompt", ""),
+                                   seed, kwargs.get("superres", False))
         if out_path and out["mesh"] is not None:
             out["mesh"].write(out_path, flip_yz=True)
         return out
 
     # ------------------------------------------------------------------
-    def run_texture_superres(self, mesh_path, prompt="", negative_prompt="",
-                             seed=42, steps=None, out_path=None,
-                             use_ip_adapter=True):
-        """Texture super-resolution endpoint (proc_texture_superres,
-        adapter3d.py:578-624): 6 surround + 2 polar reg views, img2img with
-        tile+depth control, texture optimized at the final step only."""
+    def proc_texture_superres(self, mesh, prompt="", negative_prompt="",
+                              seed=42, steps=None, use_ip_adapter=True,
+                              init_field_params=None):
+        """Shared texture-super-res worker (adapter3d.py:578-624
+        proc_texture_superres): 6 surround + 2 polar reg views, img2img
+        with tile+depth control, texture optimized at the final step only.
+        Takes the mesh (and optionally the preceding stage's live albedo
+        field, the reference's `ingp_states`) IN MEMORY — no GLB
+        round-trip when chained from *_to_mesh/run_retex."""
         from ..pipelines.superres import SuperResConfig, \
             TextureSuperResPipeline
         from ..models.fields import INGPConfig
@@ -484,9 +499,6 @@ class EndpointsMixin:
         m.controlnets, m.cn_params = self.load_controlnets()
         m.lpips_params = self.load_lpips()
         m.enhance_fn = None if self.tiny else self.load_image_enhancer()
-        pre = self.run_mesh_preproc(mesh_path)
-        mesh = pre["mesh"]
-        c = self.constants
         poses, intr, reg_poses = C.superres_cameras()
         all_poses = np.concatenate([poses, reg_poses], axis=0)
         size = 64 if tiny else 512
@@ -503,15 +515,45 @@ class EndpointsMixin:
         pos, neg = self.encode_prompt(
             m, [prompt] * cfg.num_views, [negative_prompt] * cfg.num_views)
         if use_ip_adapter and mesh.albedo is not None:
-            # condition on the input texture (ref superres IP-Adapter
-            # per-view cond select, superres pipeline :62-87; here the
-            # albedo atlas is the shared image prompt)
+            # IP-Adapter conditioning: enable_ip_adapter installs
+            # m.ip_encode_fn, so the pipeline prompts each view with its
+            # OWN init render (ref per-view cond select,
+            # mvedit_texture_superres_pipeline.py:62-87); the atlas here
+            # only seeds the fallback shared context
             self.enable_ip_adapter(m, jnp.asarray(mesh.albedo))
         pipe = TextureSuperResPipeline(m, cfg)
-        out = pipe(mesh, jnp.asarray(all_poses), jnp.asarray(intr), pos,
-                   neg, jax.random.PRNGKey(seed))
+        return pipe(mesh, jnp.asarray(all_poses), jnp.asarray(intr), pos,
+                    neg, jax.random.PRNGKey(seed),
+                    init_field_params=init_field_params)
+
+    def run_texture_superres(self, mesh_path, prompt="", negative_prompt="",
+                             seed=42, steps=None, out_path=None,
+                             use_ip_adapter=True):
+        """Standalone texture super-resolution endpoint: GLB preproc +
+        proc_texture_superres."""
+        pre = self.run_mesh_preproc(mesh_path)
+        out = self.proc_texture_superres(
+            pre["mesh"], prompt=prompt, negative_prompt=negative_prompt,
+            seed=seed, steps=steps, use_ip_adapter=use_ip_adapter)
         if out_path:
             out["mesh"].write(out_path, flip_yz=True)
+        return out
+
+    def _chain_superres(self, out, field_key, prompt, negative_prompt,
+                        seed, superres):
+        """Chain proc_texture_superres onto a pipeline result, handing the
+        live albedo field over in memory (ref ingp_states pass-through,
+        adapter3d.py:848-857,1038-1044). `superres` may be True or a dict
+        of proc_texture_superres overrides (steps/use_ip_adapter)."""
+        if not superres or out.get("mesh") is None:
+            return out
+        kw = dict(superres) if isinstance(superres, dict) else {}
+        sr = self.proc_texture_superres(
+            out["mesh"], prompt=prompt, negative_prompt=negative_prompt,
+            seed=seed, init_field_params=out.get(field_key), **kw)
+        out["mesh"] = sr["mesh"]
+        out["superres_renders"] = sr["renders"]
+        out["field_params"] = sr["field_params"]
         return out
 
     # ------------------------------------------------------------------

@@ -625,6 +625,11 @@ class Adapter3DRunner(EndpointsMixin):
         out = pipe(mesh, jnp.asarray(poses), jnp.asarray(intr), pos_e,
                    neg_e, jax.random.PRNGKey(seed),
                    cam_weights=cam_weights)
+        # chained texture super-res with the live albedo field
+        # (ref run_retex -> proc_texture_superres, adapter3d.py:1190-1204)
+        out = self._chain_superres(out, "field_params", prompt,
+                                   negative_prompt, seed,
+                                   kwargs.get("superres", False))
         if out_path:
             out["mesh"].write(out_path, flip_yz=True)
         return out

@@ -14,7 +14,11 @@ module fuses it into one Pallas kernel:
   never covered.
 - the kernel runs a (num_tiles, K/KB) grid with running (best_key,
   best_idx) accumulators in VMEM scratch; nothing (P, K)-sized ever leaves
-  the core. Selection is inherently non-differentiable (nvdiffrast's
+  the core. Layout: PIXELS ride the lane axis and candidates the sublane
+  axis, so the per-block argmin is a sublane reduction and the coefficient
+  columns slice out as (KB, 1) without relayouts; coef is (T, Kp, 12) and
+  outputs are (T, 1, P) to satisfy Mosaic's (8, 128)-or-full-dim block
+  tiling rules. Selection is inherently non-differentiable (nvdiffrast's
   discrete coverage; the XLA path wraps it in stop_gradient), so the kernel
   needs no VJP — gradients come from the winner-recompute pass which stays
   in plain JAX on (H, W) arrays (`rasterize.py::rasterize` pallas branch).
@@ -40,9 +44,9 @@ def prepare_coeffs(tri_p, cand, cand_valid, cull_backface: bool):
 
     tri_p: (F, 3, 3) pixel-space triangle verts (u, v, z_cam).
     cand: (T, K) int32 candidate tri ids; cand_valid: (T, K) bool.
-    Returns (T, 12, Kp) f32 with Kp = K rounded up to a lane multiple:
-    rows 0-8 = (alpha, beta, gamma) for edges 0..2 (sign-normalized so
-    covered <=> all three >= 0), rows 9-11 = (zx, zy, zc) of the
+    Returns (T, Kp, 12) f32 with Kp = K rounded up to a block multiple:
+    cols 0-8 = (alpha, beta, gamma) for edges 0..2 (sign-normalized so
+    covered <=> all three >= 0), cols 9-11 = (zx, zy, zc) of the
     screen-interpolated 1/z plane (nearest = largest).
     """
     p = tri_p[cand]                        # (T, K, 3, 3)
@@ -85,15 +89,15 @@ def prepare_coeffs(tri_p, cand, cand_valid, cull_backface: bool):
                        edge(al2, be2, ga2)):
         rows.extend([al, be, ga])
     rows.extend([zx, zy, zc_])
-    coef = jnp.stack(rows, axis=1)         # (T, 12, K)
-    K = coef.shape[-1]
+    coef = jnp.stack(rows, axis=-1)        # (T, K, 12)
+    K = coef.shape[1]
     Kp = -(-K // _KB) * _KB
     if Kp != K:
-        pad = jnp.zeros(coef.shape[:-1] + (Kp - K,), coef.dtype)
-        pad = pad.at[:, 2].set(-1.0)       # gamma0 = -1: never covered
-        pad = pad.at[:, 5].set(-1.0)
-        pad = pad.at[:, 8].set(-1.0)
-        coef = jnp.concatenate([coef, pad], axis=-1)
+        pad = jnp.zeros((coef.shape[0], Kp - K, 12), coef.dtype)
+        pad = pad.at[:, :, 2].set(-1.0)    # gamma0 = -1: never covered
+        pad = pad.at[:, :, 5].set(-1.0)
+        pad = pad.at[:, :, 8].set(-1.0)
+        coef = jnp.concatenate([coef, pad], axis=1)
     return coef
 
 
@@ -106,30 +110,31 @@ def _select_kernel(coef_ref, bidx_ref, bkey_ref, key_s, idx_s, *,
 
     @pl.when(k == 0)
     def _():
-        key_s[:] = jnp.full((P, 1), _BIG, jnp.float32)
-        idx_s[:] = jnp.zeros((P, 1), jnp.int32)
+        key_s[:] = jnp.full((1, P), _BIG, jnp.float32)
+        idx_s[:] = jnp.zeros((1, P), jnp.int32)
 
     tx = (t % tiles_x) * tile
     ty = (t // tiles_x) * tile
-    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    qx = (tx + pid % tile).astype(jnp.float32) + 0.5
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    qx = (tx + pid % tile).astype(jnp.float32) + 0.5   # (1, P) on lanes
     qy = (ty + pid // tile).astype(jnp.float32) + 0.5
 
-    co = coef_ref[0]                       # (12, KB)
+    co = coef_ref[0]                       # (KB, 12)
+
+    def col(i):
+        return co[:, i:i + 1]              # (KB, 1): lane slice, no relayout
 
     def w(i):
-        return (co[i, :][None, :] * qx + co[i + 1, :][None, :] * qy
-                + co[i + 2, :][None, :])   # (P, KB)
+        return col(i) * qx + col(i + 1) * qy + col(i + 2)  # (KB, P)
 
     covered = (w(0) >= 0) & (w(3) >= 0) & (w(6) >= 0)
-    inv_z = (co[9, :][None, :] * qx + co[10, :][None, :] * qy
-             + co[11, :][None, :])
+    inv_z = col(9) * qx + col(10) * qy + col(11)
     key = jnp.where(covered, -inv_z, _BIG)  # nearest = most negative
 
-    bk = jnp.min(key, axis=1, keepdims=True)            # (P, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    li = jnp.min(jnp.where(key == bk, lane, jnp.int32(2 ** 30)),
-                 axis=1, keepdims=True) + k * key.shape[1]
+    bk = jnp.min(key, axis=0, keepdims=True)            # (1, P)
+    sub = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+    li = jnp.min(jnp.where(key == bk, sub, jnp.int32(2 ** 30)),
+                 axis=0, keepdims=True) + k * key.shape[0]
 
     better = bk < key_s[:]
     idx_s[:] = jnp.where(better, li, idx_s[:])
@@ -137,36 +142,36 @@ def _select_kernel(coef_ref, bidx_ref, bkey_ref, key_s, idx_s, *,
 
     @pl.when(k == nk - 1)
     def _():
-        bidx_ref[0] = idx_s[:, 0]
-        bkey_ref[0] = key_s[:, 0]
+        bidx_ref[0] = idx_s[:]
+        bkey_ref[0] = key_s[:]
 
 
 @partial(jax.jit, static_argnames=("tile", "tiles_x", "interpret"))
 def select_pallas(coef, tile: int, tiles_x: int, interpret: bool = False):
     """Run the selection kernel.
 
-    coef: (T, 12, Kp) from `prepare_coeffs`. Returns (best_idx (T, P) int32
+    coef: (T, Kp, 12) from `prepare_coeffs`. Returns (best_idx (T, P) int32
     into the candidate axis, best_key (T, P) f32 = -1/z of the winner,
     >= 3e38 when no candidate covers the pixel). Not differentiable (the
     XLA path's selection is stop_gradient too).
     """
-    T, _, Kp = coef.shape
+    T, Kp, _ = coef.shape
     P = tile * tile
     coef = jax.lax.stop_gradient(coef)
     kern = partial(_select_kernel, tile=tile, tiles_x=tiles_x)
     bidx, bkey = pl.pallas_call(
         kern,
         grid=(T, Kp // _KB),
-        in_specs=[pl.BlockSpec((1, 12, _KB), lambda t, k: (t, 0, k),
+        in_specs=[pl.BlockSpec((1, _KB, 12), lambda t, k: (t, k, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, P), lambda t, k: (t, 0),
+        out_specs=[pl.BlockSpec((1, 1, P), lambda t, k: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, P), lambda t, k: (t, 0),
+                   pl.BlockSpec((1, 1, P), lambda t, k: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((T, P), jnp.int32),
-                   jax.ShapeDtypeStruct((T, P), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32),
-                        pltpu.VMEM((P, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+                   jax.ShapeDtypeStruct((T, 1, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.int32)],
         interpret=interpret,
     )(coef)
-    return bidx, bkey
+    return bidx.reshape(T, P), bkey.reshape(T, P)

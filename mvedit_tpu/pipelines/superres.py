@@ -50,7 +50,14 @@ class TextureSuperResPipeline:
         self.cfg = cfg
 
     def __call__(self, mesh: Mesh, poses, intrinsics, prompt_embeds,
-                 negative_embeds, key, init_renders=None):
+                 negative_embeds, key, init_renders=None,
+                 init_field_params=None):
+        """init_field_params: live albedo-field params handed over from a
+        preceding 3D/texture stage (the reference's `ingp_states` pass-
+        through, adapter3d.py:848-857,1038-1044) — the fit warm-starts
+        from them and, absent explicit init_renders, the initial views are
+        rendered from the field instead of the baked atlas (no GLB/UV
+        round-trip)."""
         cfg = self.cfg
         sch = self.m.schedule
         N = cfg.num_views
@@ -80,8 +87,12 @@ class TextureSuperResPipeline:
         ctrl_depths = normalize_depth(
             geo["depth"], geo["alpha"])[..., None].repeat(3, -1)
 
-        # init renders from the current mesh albedo (atlas sampling) or
-        # provided renders
+        # init renders: explicit > live field (chained stage) > baked atlas
+        if init_renders is None and init_field_params is not None:
+            rgb = ingp_point_decode(init_field_params, geo["xyz"],
+                                    cfg.ingp)[1]
+            init_renders = jnp.clip(
+                rgb * geo["alpha"] + (1 - geo["alpha"]), 0, 1)
         if init_renders is None:
             from ..models.mesh.texture import _sample_level
             uv_img = render_views(
@@ -156,7 +167,8 @@ class TextureSuperResPipeline:
                              n_inverse_steps=cfg.n_inverse_steps,
                              lr=cfg.lr, ingp=cfg.ingp)
         key, k0 = jax.random.split(key)
-        params = ingp_init(k0, cfg.ingp)
+        params = (init_field_params if init_field_params is not None
+                  else ingp_init(k0, cfg.ingp))
         color_fn = lambda p, x: ingp_point_decode(p, x, cfg.ingp)[1]  # noqa
         fit, optimizer = make_texture_fit(
             color_fn, tcfg,

@@ -131,3 +131,20 @@ def test_run_retex_instruct_front_view(runner, tmp_path):
     assert out["renders"].shape[0] == 3
     assert np.isfinite(out["mesh"].albedo).all()
     assert Mesh.load(out_path).albedo is not None
+
+
+@pytest.mark.slow
+def test_run_retex_chained_superres(runner, tmp_path):
+    """superres=True chains proc_texture_superres onto run_retex with the
+    live albedo field handed over in memory (ref ingp_states,
+    adapter3d.py:1190-1204): the result carries superres_renders and the
+    mesh keeps a finite atlas."""
+    mesh_path = _sphere_glb(tmp_path)
+    out = runner.run_retex(mesh_path, "shiny", seed=1, steps=2,
+                           n_inverse_steps=2, num_views=2,
+                           superres={"steps": 2})
+    assert "superres_renders" in out
+    assert np.isfinite(np.asarray(out["superres_renders"])).all()
+    assert out["mesh"].albedo is not None
+    assert np.isfinite(out["mesh"].albedo).all()
+    assert "field_params" in out
