@@ -716,6 +716,9 @@ class EndpointsMixin:
         pipe = MVEdit3DPipeline(m, cfg)
         out = pipe(targets, jax.random.PRNGKey(seed), pos, neg,
                    init_field_params=field0)
+        out = self._chain_superres(out, "nerf_params", prompt,
+                                   kwargs.get("negative_prompt", ""),
+                                   seed, kwargs.get("superres", False))
         if out_path and out["mesh"] is not None:
             out["mesh"].write(out_path, flip_yz=True)
         return out

@@ -343,3 +343,78 @@ def test_kitti_preproc_cli(tmp_path):
     assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
     # camera distance == |loc + cam_t| / bbox diagonal (~3.3 here)
     assert 3.0 < np.linalg.norm(c2w[:3, 3]) < 3.6
+
+
+def test_webui_positional_contracts_match_schema():
+    """Every named endpoint's positional input list equals the reference
+    contract: [seed, media inputs] + schema-ordered widget keys (+
+    superres block, + trailing extras) — reference composition at
+    lib/core/webui/tab_img_to_3d.py:111-116, tab_3d_to_3d.py:91-96,
+    tab_retexturing.py:93-99."""
+    from mvedit_tpu.apis import parameters as P
+    from mvedit_tpu.apis.webui import (endpoint_signature,
+                                       schema_widget_keys, ENDPOINT_NAMES)
+
+    nm_keys = list(P.nerf_mesh_defaults.keys())
+    sr_keys = ["superres_" + k for k in P.superres_defaults.keys()]
+    rt_keys = list(P.retex_defaults.keys())
+
+    # advanced=True exposes EVERY schema key, in schema order
+    sig = endpoint_signature("img_to_3d_1_1_zero123plus_to_mesh",
+                             advanced=True)
+    assert sig == (["seed", "image"] + nm_keys + sr_keys
+                   + [f"view_{i}" for i in range(6)])
+
+    sig = endpoint_signature("img_to_3d_1_2_zero123plus_to_mesh",
+                             advanced=True)
+    assert sig[2:2 + len(nm_keys)] == nm_keys
+    assert len(sig) == 2 + len(nm_keys) + len(sr_keys) + 12
+
+    sig = endpoint_signature("3d_to_3d_mvedit", advanced=True)
+    assert sig == ["seed", "mesh", "front_view_id"] + nm_keys + sr_keys
+
+    # retex: full retex schema + superres + trailing in_image
+    # (non-instruct only, tab_retexturing.py:98-99)
+    sig = endpoint_signature("retex_mvedit", advanced=True)
+    assert sig == (["seed", "mesh", "front_view_id"] + rt_keys + sr_keys
+                   + ["in_image"])
+    sig_i = endpoint_signature("retex_mvedit_instruct", advanced=True)
+    assert sig_i == ["seed", "mesh", "front_view_id"] + rt_keys + sr_keys
+
+    # advanced=False: only the basic create_prompt_opts/create_base_opts
+    # widgets survive, still in schema order
+    basic = schema_widget_keys(
+        P.nerf_mesh_defaults,
+        ("prompt", "negative_prompt", "scheduler", "steps",
+         "denoising_strength", "random_init", "cfg_scale"), False)
+    assert basic == ["prompt", "negative_prompt", "scheduler", "steps",
+                     "denoising_strength", "random_init", "cfg_scale"]
+    sig = endpoint_signature("3d_to_3d_mvedit", advanced=False)
+    assert sig == (["seed", "mesh", "front_view_id"] + basic
+                   + ["superres_" + k for k in
+                      ["do_superres", "use_ip_adapter", "scheduler",
+                       "steps", "denoising_strength", "random_init",
+                       "cfg_scale"]])
+
+    # stablessdnerf: prompt opts + sampler opts (no denoising_strength,
+    # no render_bs widget)
+    assert endpoint_signature("text_to_3d_stablessdnerf") == \
+        ["seed", "prompt", "negative_prompt", "scheduler", "steps",
+         "cfg_scale"]
+
+    # text_to_img basic: image schema order
+    assert endpoint_signature("text_to_img", advanced=False) == \
+        ["seed", "width", "height", "prompt", "negative_prompt",
+         "scheduler", "steps", "cfg_scale"]
+    assert endpoint_signature("text_to_img", advanced=True) == \
+        ["seed"] + list(P.image_defaults.keys())
+
+    # the video tool contract (tab_3d_to_video.py:52-55)
+    assert endpoint_signature("mesh_to_video") == \
+        ["mesh", "front_view_id", "distance", "elevation", "fov",
+         "length", "resolution", "lossless", "layer"]
+
+    # every named endpoint has a defined signature
+    for name in ENDPOINT_NAMES:
+        assert isinstance(endpoint_signature(name, advanced=True), list)
+        assert isinstance(endpoint_signature(name, advanced=False), list)
