@@ -19,6 +19,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from mvedit_tpu.models.mesh.dmtet import build_grid_tets
+from mvedit_tpu.models.mesh.structured_tets import StructuredTetGrid
 from mvedit_tpu.models import mesh_fit as MF
 from mvedit_tpu.models.mesh.rasterize import RasterConfig
 from mvedit_tpu.models.mesh.renderer import render_views
@@ -32,13 +33,20 @@ ap.add_argument("--res", type=int, default=128)
 ap.add_argument("--size", type=int, default=512)
 ap.add_argument("--steps", type=int, default=8)
 ap.add_argument("--no-lpips", action="store_true")
+ap.add_argument("--generic-grid", action="store_true",
+                help="use the table-driven TetGrid instead of structured")
+ap.add_argument("--variants", default=None,
+                help="comma list of ablation variants to run (skips the "
+                     "main phase timings)")
 args = ap.parse_args()
 
 res, size = args.res, args.size
 print(f"tet res {res}, render {size}^2", flush=True)
 
-grid = build_grid_tets(res)
-print(f"grid: V={len(grid.verts)} T={len(grid.tets)}", flush=True)
+grid = build_grid_tets(res) if args.generic_grid \
+    else StructuredTetGrid(res)
+print(f"grid: V={len(grid.verts)} structured={not args.generic_grid}",
+      flush=True)
 
 ingp = INGPConfig(backend="dense",
                   dense=DenseGridConfig(resolutions=(32, 160)))
@@ -82,62 +90,121 @@ if not args.no_lpips:
     lpips_params = lpips_init(jax.random.PRNGKey(1))
 
 
+def _sync(out):
+    # block_until_ready does NOT synchronize through the axon tunnel
+    # (PERF.md): a scalar readback is the only honest barrier
+    leaves = jax.tree_util.tree_leaves(out)
+    for x in leaves:
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            float(jnp.sum(x))
+            return
+    jax.block_until_ready(out)
+
+
 def tmit(f, *a, n=4, **kw):
     out = f(*a, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = f(*a, **kw)
-        jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / n, out
 
 
+if args.variants is None:
+    _skip = False
+else:
+    _skip = True
+
 # 1. extract fwd
-t, mt = tmit(extract, state)
-nv = int(jnp.sum(mt["vert_mask"])) if "vert_mask" in mt else -1
-nf = int(jnp.sum(mt["face_mask"]))
-print(f"extract fwd: {t*1e3:.1f} ms (V={mt['verts'].shape[0]} "
-      f"used={nv}, F={mt['faces'].shape[0]} used={nf})", flush=True)
+if not _skip:
+    t, mt = tmit(extract, state)
+    nv = int(jnp.sum(mt["vert_mask"])) if "vert_mask" in mt else -1
+    nf = int(jnp.sum(mt["face_mask"]))
+    print(f"extract fwd: {t*1e3:.1f} ms (V={mt['verts'].shape[0]} "
+          f"used={nv}, F={mt['faces'].shape[0]} used={nf})", flush=True)
 
 
 # 2. render fwd (raster + field shading), render_bs views
-@jax.jit
-def render_fwd(state, mt):
-    def shading_fun(xyz, normal, view_dir):
-        return color_fn(state["field"], xyz)
-    return render_views(mt["verts"], mt["faces"], mt["face_mask"],
-                        targets["poses"][:mcfg.render_bs],
-                        targets["intrinsics"][:mcfg.render_bs],
-                        rc, shading_fun=shading_fun)["rgb"]
+if not _skip:
+    @jax.jit
+    def render_fwd(state, mt):
+        def shading_fun(xyz, normal, view_dir):
+            return color_fn(state["field"], xyz)
+        return render_views(mt["verts"], mt["faces"], mt["face_mask"],
+                            targets["poses"][:mcfg.render_bs],
+                            targets["intrinsics"][:mcfg.render_bs],
+                            rc, shading_fun=shading_fun)["rgb"]
 
-
-t, _ = tmit(render_fwd, state, mt)
-print(f"render fwd ({mcfg.render_bs} views): {t*1e3:.1f} ms", flush=True)
+    t, _ = tmit(render_fwd, state, mt)
+    print(f"render fwd ({mcfg.render_bs} views): {t*1e3:.1f} ms",
+          flush=True)
 
 # 3/4. fit programs
-opt_state = opt.init(state)
 fit1, _, _ = MF.make_mesh_fit(grid, color_fn,
                               MF.MeshFitConfig(
                                   raster=rc, n_steps=1,
                                   patch_size=min(128, size),
                                   vert_cap=vert_cap,
                                   face_cap=vert_cap + (vert_cap >> 1)))
-t0 = time.perf_counter()
-out1 = fit1(state, opt_state, targets, jax.random.PRNGKey(2),
-            lpips_params=lpips_params)
-jax.block_until_ready(out1)
-print(f"fit 1-step compile+run: {time.perf_counter()-t0:.0f} s", flush=True)
-t, _ = tmit(fit1, state, opt_state, targets, jax.random.PRNGKey(2), n=3,
-            lpips_params=lpips_params)
-print(f"fit 1 step: {t*1e3:.1f} ms", flush=True)
+def time_fit(f, label, n_steps, n=3):
+    # the fit donates (state, opt_state): thread outputs through the loop
+    s = jax.tree_util.tree_map(jnp.copy, state)
+    os_ = opt.init(s)
+    t0 = time.perf_counter()
+    s, os_, out = f(s, os_, targets, jax.random.PRNGKey(2),
+                    lpips_params=lpips_params)
+    _sync(out)
+    print(f"{label} compile+run: {time.perf_counter()-t0:.0f} s",
+          flush=True)
+    t0 = time.perf_counter()
+    for i in range(n):
+        s, os_, out = f(s, os_, targets, jax.random.PRNGKey(3 + i),
+                        lpips_params=lpips_params)
+        _sync(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label}: {dt*1e3:.1f} ms ({dt*1e3/n_steps:.1f} ms/step)",
+          flush=True)
 
-t0 = time.perf_counter()
-outn = fit(state, opt_state, targets, jax.random.PRNGKey(2),
-           lpips_params=lpips_params)
-jax.block_until_ready(outn)
-print(f"fit {args.steps}-step compile+run: {time.perf_counter()-t0:.0f} s",
-      flush=True)
-t, _ = tmit(fit, state, opt_state, targets, jax.random.PRNGKey(2), n=2,
-            lpips_params=lpips_params)
-print(f"fit {args.steps}-step program: {t*1e3:.1f} ms "
-      f"({t*1e3/args.steps:.1f} ms/step amortized)", flush=True)
+
+if not _skip:
+    time_fit(fit1, "fit 1-step", 1)
+    time_fit(fit, f"fit {args.steps}-step", args.steps, n=2)
+
+# ---- ablations: where does the backward go? -----------------------------
+if True:
+    def run_variant(label, color, mcfg_kw=None, lp=None):
+        kw = dict(raster=rc, n_steps=1, patch_size=min(128, size),
+                  vert_cap=vert_cap, face_cap=vert_cap + (vert_cap >> 1))
+        kw.update(mcfg_kw or {})
+        f, o, _ = MF.make_mesh_fit(grid, color, MF.MeshFitConfig(**kw))
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        os_ = o.init(s)
+        s, os_, out = f(s, os_, targets, jax.random.PRNGKey(2),
+                        lpips_params=lp)
+        _sync(out)
+        t0 = time.perf_counter()
+        for i in range(3):
+            s, os_, out = f(s, os_, targets, jax.random.PRNGKey(3 + i),
+                            lpips_params=lp)
+            _sync(out)
+        print(f"ablate[{label}]: {(time.perf_counter()-t0)/3*1e3:.1f} ms",
+              flush=True)
+
+    const_color = lambda p, x: jnp.full(x.shape[:-1] + (3,), 0.5)  # noqa
+    VARIANTS = {
+        "lpips": lambda: run_variant("full+lpips", color_fn,
+                                     lp=lpips_params),
+        "full": lambda: run_variant("full", color_fn),
+        "nofield": lambda: run_variant("no-field (const color)",
+                                       const_color),
+        "noreg": lambda: run_variant(
+            "no-reg (16 faces)", color_fn,
+            dict(reg_face_samples=16, normal_consistency_weight=0.0)),
+        "noshade": lambda: run_variant("no-shading", color_fn,
+                                       dict(shaded=False)),
+    }
+    names = (args.variants.split(",") if args.variants
+             else list(VARIANTS))
+    for nme in names:
+        VARIANTS[nme]()

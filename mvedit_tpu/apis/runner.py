@@ -412,23 +412,57 @@ class Adapter3DRunner(EndpointsMixin):
     # ------------------------------------------------------------------
 
     def run_segmentation(self, images, seed=42, refine_fn=None,
-                         bg_color=None, erosion=0):
+                         use_sam=False, bg_color=None, erosion=0):
         """TRACER foreground masks. images: (N, H, W, 3) [0,1]
         (adapter3d.py:720 run_segmentation). refine_fn plugs in a
-        box-prompted refiner (the reference's optional SAM predictor,
-        pipelines/utils.py:109-133): refine_fn(image_uint8, bbox) ->
-        (H, W) mask; bg_color forces matching pixels foreground."""
+        box-prompted refiner; use_sam=True installs the SAM predictor as
+        that refiner (the reference's optional SAM path, adapter3d.py:
+        363-380 + pipelines/utils.py:109-133): TRACER bbox -> SAM box
+        prompt -> last multimask output. bg_color forces matching pixels
+        foreground."""
         dec, params = self.load_tracer(seed=seed)
         from ..models.segmentors import tracer_segment
         segment = lambda x: tracer_segment(  # noqa: E731
             lambda p, xx: dec.apply(p, xx), params, x,
             input_size=64 if self.tiny else 640)
+        if use_sam and refine_fn is None:
+            refine_fn = self.make_sam_refine_fn()
         if refine_fn is None and bg_color is None and erosion == 0:
             return segment(jnp.asarray(images))
         from ..pipelines.preproc import do_segmentation
         return jnp.asarray(do_segmentation(
             images, segment, refine_fn=refine_fn, bg_color=bg_color,
             erosion=erosion))
+
+    def load_sam(self):
+        """SAM (vit_h full-scale / tiny config under tiny_models), weights
+        from checkpoint_dir/sam when converted (ref ybelkada/
+        segment-anything sam_vit_h_4b8939.pth, adapter3d.py:363-380)."""
+        from ..models.segmentors.sam import (SamModel, SAM_VIT_H, SAM_TINY,
+                                             convert_sam)
+        if "sam_model" not in self._cache:
+            cfg = SAM_TINY if self.tiny else SAM_VIT_H
+            model = SamModel(cfg)
+            params = self._load_params(
+                "sam",
+                lambda: model.init(
+                    jax.random.PRNGKey(self.seed),
+                    jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+                    jnp.zeros((4,)))["params"],
+                lambda sd: convert_sam(sd, cfg), subdir="sam")
+            self._cache["sam_model"] = (model, params)
+        return self._cache["sam_model"]
+
+    def make_sam_refine_fn(self):
+        """refine_fn(image_uint8, bbox_xyxy) -> (H, W) mask via SAM."""
+        from ..models.segmentors.sam import sam_predict_box
+        model, params = self.load_sam()
+
+        def refine(image_uint8, bbox):
+            img = np.asarray(image_uint8, np.float32) / 255.0
+            return np.asarray(sam_predict_box(model, params, img,
+                                              np.asarray(bbox, np.float32)))
+        return refine
 
     def load_tracer(self, seed=None):
         """TRACER-B7 through the checkpoint path (ref Carve/tracer_b7,

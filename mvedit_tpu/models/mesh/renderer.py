@@ -38,8 +38,11 @@ def vertex_normals(verts, faces, face_mask=None):
     vn = jnp.zeros_like(verts)
     for i in range(3):
         vn = vn.at[faces[:, i]].add(fn)
-    return vn / jnp.clip(
-        jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12, None)
+    # rsqrt(sumsq + eps), NOT x/clip(norm): d||x||/dx at x=0 is NaN and a
+    # clip on the norm does not stop it propagating — zero-normal verts
+    # (valid crossing referenced by no face) would NaN the whole gradient
+    return vn * jax.lax.rsqrt(
+        jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-20)
 
 
 def pose_to_w2c(pose_c2w):
@@ -92,8 +95,8 @@ def render_views(verts, faces, face_mask, poses_c2w, intrinsics,
         rast = rasterize(pts, faces, face_mask, cfg_r)
         xyz = interpolate(verts, rast, faces)
         nrm = interpolate(vn, rast, faces)
-        nrm = nrm / jnp.clip(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
-                             1e-12, None)
+        nrm = nrm * jax.lax.rsqrt(
+            jnp.sum(nrm * nrm, axis=-1, keepdims=True) + 1e-20)
         out = {"xyz": xyz, "normal": nrm, "depth": rast["z"],
                "alpha": rast["alpha"][..., None],
                "alpha_hard": rast["alpha_hard"][..., None]}

@@ -96,8 +96,11 @@ def normal_consistency_loss(verts, faces, face_mask):
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
     fn = jnp.cross(v1 - v0, v2 - v0)
-    fn = fn / jnp.clip(jnp.linalg.norm(fn, axis=-1, keepdims=True),
-                       1e-12, None)
+    # rsqrt(sumsq+eps), NOT x/clip(norm(x)): norm's VJP at x=0 is 0/0, and
+    # the masked (w=0) downstream multiply gives 0*NaN = NaN — degenerate
+    # masked faces would poison the whole sdf/deform gradient
+    fn = fn * jax.lax.rsqrt(
+        jnp.sum(fn * fn, axis=-1, keepdims=True) + 1e-20)
     w = face_mask.astype(verts.dtype)
     vsum = jnp.zeros_like(verts)
     deg = jnp.zeros((verts.shape[0],), verts.dtype)
@@ -105,8 +108,8 @@ def normal_consistency_loss(verts, faces, face_mask):
         vsum = vsum.at[faces[:, i]].add(fn * w[:, None])
         deg = deg.at[faces[:, i]].add(w)
     vn = vsum / jnp.clip(deg[:, None], 1.0, None)
-    vn = vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True),
-                       1e-12, None)
+    vn = vn * jax.lax.rsqrt(
+        jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-20)
     # mean (1 - cos) between each face normal and its 3 vertex normals
     cos = sum(jnp.sum(fn * vn[faces[:, i]], axis=-1) for i in range(3)) / 3
     return jnp.sum((1.0 - cos) * w) / jnp.clip(w.sum(), 1.0, None)
@@ -129,7 +132,9 @@ def laplacian_loss(verts, faces, face_mask, vert_mask):
         deg = deg.at[ib].add(w)
     lap = verts - nsum / jnp.clip(deg[:, None], 1.0, None)
     m = (vert_mask & (deg > 0)).astype(verts.dtype)
-    return jnp.sum(jnp.linalg.norm(lap, axis=-1) * m) / jnp.clip(m.sum(), 1.0, None)
+    # sqrt(sumsq+eps): plain norm's VJP is NaN at lap == 0 (flat vertex)
+    lap_mag = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-20)
+    return jnp.sum(lap_mag * m) / jnp.clip(m.sum(), 1.0, None)
 
 
 def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
@@ -140,9 +145,13 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     targets: dict images/masks/normals/poses/intrinsics/cam_weights/
     cam_lights as in nerf_fit.
     """
+    from .mesh.structured_tets import (StructuredTetGrid,
+                                       marching_tets_structured)
     tm = Tonemapping()
     optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
-    cell = 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1)
+    structured = isinstance(grid, StructuredTetGrid)
+    cell = (2.0 / grid.resolution if structured
+            else 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1))
     grid_arrays = grid.arrays()
 
     @jax.jit
@@ -150,6 +159,14 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         # jitted: eager marching_tets materializes poorly-tiled (N,3)
         # temporaries (42x padding) and OOMs at full tet scale
         deform = jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
+        if structured:
+            # closed-form topology: 8x faster extraction at tet 128
+            # (225 vs 1798 ms, benchmarks/prof_extract_bwd.py)
+            g = grid.resolution
+            vc = cfg.vert_cap or (1 << max(9, (16 * g * g - 1).bit_length()))
+            return marching_tets_structured(
+                grid, ga, state["sdf"], deform=deform, vert_cap=vc,
+                face_cap=cfg.face_cap or vc + (vc >> 1))
         if cfg.vert_cap:
             return marching_tets_compact(
                 ga, state["sdf"], deform=deform, vert_cap=cfg.vert_cap,

@@ -340,6 +340,42 @@ def clear_renderer_cache(height=None):
             fn.clear_cache()
 
 
+def _make_frame_body(point_decode_fn, h, w, cfg_inf, chunk, pad, bg_color,
+                     use_grid):
+    """Single source of truth for the full-frame render body (ray
+    generation, padding with constant_values=1.0, chunked lax.map, unpad)
+    shared by make_image_renderer and make_multiview_renderer."""
+    n = h * w
+
+    def frame(params, pose, intrinsics, grid):
+        dirs = get_ray_directions(h, w, intrinsics)
+        rays_o, rays_d = get_rays(dirs, pose, norm=True)
+        rays_o = jnp.pad(rays_o.reshape(-1, 3), ((0, pad), (0, 0)))
+        rays_d = jnp.pad(rays_d.reshape(-1, 3), ((0, pad), (0, 0)),
+                         constant_values=1.0)
+
+        def body(rays):
+            o, d = rays
+            out = render_rays(partial(point_decode_fn, params), o, d,
+                              cfg_inf, grid=grid if use_grid else None,
+                              bg_color=bg_color)
+            return (out["rgb"], out["depth"], out["inv_depth"],
+                    out["alpha"])
+
+        rgb, depth, inv_depth, alpha = jax.lax.map(
+            body, (rays_o.reshape(-1, chunk, 3),
+                   rays_d.reshape(-1, chunk, 3)))
+        return {
+            "rgb": rgb.reshape(-1, 3)[:n].reshape(h, w, 3),
+            "depth": depth.reshape(-1)[:n].reshape(h, w),
+            "inv_depth": inv_depth.reshape(-1)[:n].reshape(h, w),
+            "alpha": alpha.reshape(-1)[:n].reshape(h, w),
+            "dirs": dirs,
+        }
+
+    return frame
+
+
 def make_image_renderer(point_decode_fn, h, w, cfg: RenderConfig,
                         chunk=65536, bg_color=1.0, use_grid=True):
     """Build (and cache) a jitted full-frame renderer.
@@ -352,33 +388,13 @@ def make_image_renderer(point_decode_fn, h, w, cfg: RenderConfig,
         return _RENDERER_CACHE[key]
 
     cfg_inf = RenderConfig(**{**cfg.__dict__, "stratified": False})
-    n = h * w
-    pad = (-n) % chunk
+    pad = (-(h * w)) % chunk
+    frame = _make_frame_body(point_decode_fn, h, w, cfg_inf, chunk, pad,
+                             bg_color, use_grid)
 
     @jax.jit
     def render(params, pose, intrinsics, grid=None):
-        dirs = get_ray_directions(h, w, intrinsics)
-        rays_o, rays_d = get_rays(dirs, pose, norm=True)
-        rays_o = jnp.pad(rays_o.reshape(-1, 3), ((0, pad), (0, 0)))
-        rays_d = jnp.pad(rays_d.reshape(-1, 3), ((0, pad), (0, 0)),
-                         constant_values=1.0)
-
-        def body(rays):
-            o, d = rays
-            out = render_rays(partial(point_decode_fn, params), o, d, cfg_inf,
-                              grid=grid if use_grid else None,
-                              bg_color=bg_color)
-            return (out["rgb"], out["depth"], out["inv_depth"], out["alpha"])
-
-        rgb, depth, inv_depth, alpha = jax.lax.map(
-            body, (rays_o.reshape(-1, chunk, 3), rays_d.reshape(-1, chunk, 3)))
-        return {
-            "rgb": rgb.reshape(-1, 3)[:n].reshape(h, w, 3),
-            "depth": depth.reshape(-1)[:n].reshape(h, w),
-            "inv_depth": inv_depth.reshape(-1)[:n].reshape(h, w),
-            "alpha": alpha.reshape(-1)[:n].reshape(h, w),
-            "dirs": dirs,
-        }
+        return frame(params, pose, intrinsics, grid)
 
     _RENDERER_CACHE[key] = render
     return render
@@ -389,45 +405,26 @@ def make_multiview_renderer(point_decode_fn, h, w, cfg: RenderConfig,
     """Build (and cache) a jitted N-view full-frame renderer.
 
     Returned fn: (params, poses (N,3,4), intrinsics (N,4), grid|None) ->
-    dict of (N,...) frames. Views run sequentially via lax.map (one-view
-    working set) inside ONE program — the MVEdit loop's render-all-views
-    phase pays a single host dispatch instead of N (~27 ms each through
-    the tunnel, PERF.md)."""
+    dict of (N,...) frames (same keys as make_image_renderer). Views run
+    sequentially via lax.map (one-view working set) inside ONE program —
+    the MVEdit loop's render-all-views phase pays a single host dispatch
+    instead of N (~27 ms each through the tunnel, PERF.md)."""
     key = (point_decode_fn, h, w, cfg, chunk, bg_color, use_grid, "multi")
     if key in _RENDERER_CACHE:
         return _RENDERER_CACHE[key]
 
     cfg_inf = RenderConfig(**{**cfg.__dict__, "stratified": False})
-    n = h * w
-    pad = (-n) % chunk
+    pad = (-(h * w)) % chunk
+    frame = _make_frame_body(point_decode_fn, h, w, cfg_inf, chunk, pad,
+                             bg_color, use_grid)
 
     @jax.jit
     def render(params, poses, intrinsics, grid=None):
         def one_view(args):
             pose, intr = args
-            dirs = get_ray_directions(h, w, intr)
-            rays_o, rays_d = get_rays(dirs, pose, norm=True)
-            rays_o = jnp.pad(rays_o.reshape(-1, 3), ((0, pad), (0, 0)))
-            rays_d = jnp.pad(rays_d.reshape(-1, 3), ((0, pad), (0, 0)),
-                             constant_values=1.0)
+            return frame(params, pose, intr, grid)
 
-            def body(rays):
-                o, d = rays
-                out = render_rays(partial(point_decode_fn, params), o, d,
-                                  cfg_inf,
-                                  grid=grid if use_grid else None,
-                                  bg_color=bg_color)
-                return (out["rgb"], out["depth"], out["alpha"])
-
-            rgb, depth, alpha = jax.lax.map(
-                body, (rays_o.reshape(-1, chunk, 3),
-                       rays_d.reshape(-1, chunk, 3)))
-            return (rgb.reshape(-1, 3)[:n].reshape(h, w, 3),
-                    depth.reshape(-1)[:n].reshape(h, w),
-                    alpha.reshape(-1)[:n].reshape(h, w))
-
-        rgb, depth, alpha = jax.lax.map(one_view, (poses, intrinsics))
-        return {"rgb": rgb, "depth": depth, "alpha": alpha}
+        return jax.lax.map(one_view, (poses, intrinsics))
 
     _RENDERER_CACHE[key] = render
     return render

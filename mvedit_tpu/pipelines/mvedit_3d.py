@@ -135,6 +135,9 @@ class MVEdit3DConfig:
     n_inverse_steps: int = 80
     tet_init_inverse_steps: int = 120   # first DMTet fit (:1316)
     tet_resolution: int = 64
+    # closed-form structured grid (8x faster extraction at tet 128); the
+    # table-driven build_grid_tets path remains for irregular grids
+    structured_tets: bool = True
     patch_size: int = 128
     patch_bs: int = 1
     # largest image-space batch run as ONE program (the reference's
@@ -612,8 +615,12 @@ class MVEdit3DPipeline:
 
         p1 = p2 = one_pass = None
         prev_rs = None
+        from ..utils.profiling import phase_timer
         steps = [None] + list(timesteps)
         for i, t in enumerate(steps):
+            pt = phase_timer()
+            if pt is not None:
+                pt.mark()
             progress = i / max(len(steps) - 1, 1)
             in_mesh_phase = progress > cfg.nerf_switch_progress
             rs = default_render_size_p(progress, cfg.render_size) \
@@ -752,6 +759,8 @@ class MVEdit3DPipeline:
                 tgt["images"] = jnp.clip(dec_imgs, 0.0, 1.0)
                 if getattr(m, "segment_fn", None) is not None:
                     tgt["masks"] = m.segment_fn(tgt["images"])
+                if pt is not None:
+                    pt.tick("denoise_p1+vae_dec", tgt["images"])
 
             # ---- 3D fuse ----
             key, kf = jax.random.split(key)
@@ -764,6 +773,8 @@ class MVEdit3DPipeline:
                 nerf_params, opt_state, grid, _ = fit(
                     nerf_params, opt_state, grid, tgt_rs, kf,
                     sched=sw, lpips_params=lpips_params)
+                if pt is not None:
+                    pt.tick("nerf_fit", nerf_params)
             else:
                 first_mesh_step = mesh_state is None
                 if first_mesh_step:
@@ -782,7 +793,12 @@ class MVEdit3DPipeline:
                         if hasattr(fit_fn, "clear_cache"):
                             fit_fn.clear_cache()
                     NF.clear_renderer_cache()
-                    tet_grid = build_grid_tets(cfg.tet_resolution)
+                    if cfg.structured_tets:
+                        from ..models.mesh.structured_tets import \
+                            StructuredTetGrid
+                        tet_grid = StructuredTetGrid(cfg.tet_resolution)
+                    else:
+                        tet_grid = build_grid_tets(cfg.tet_resolution)
                     sdf0 = MF.init_sdf_from_density(
                         lambda x: self._decode_fn(nerf_params, x)[0],
                         tet_grid)
@@ -803,6 +819,8 @@ class MVEdit3DPipeline:
                     sched=sw, lpips_params=lpips_params)
                 last_mt = fit_out["mt"]
                 nerf_params = mesh_state["field"]
+                if pt is not None:
+                    pt.tick("mesh_fit", mesh_state["sdf"])
 
             # ---- re-render all views -> ctrl inputs + eps_3d ----
             _mem_debug(f"render-all i={i}")
@@ -828,6 +846,8 @@ class MVEdit3DPipeline:
                 ctrl_depths_full = ctrl_depths_rs
             ctrl_images = jnp.clip(ctrl_rgb, 0.0, 1.0)
             ctrl_depths = ctrl_depths_full
+            if pt is not None:
+                pt.tick("render_all", ctrl_images)
 
             if t is not None:
                 lat_3d = vae_enc(m.vae_params,
@@ -860,13 +880,21 @@ class MVEdit3DPipeline:
                     ref_noisy, ref_solver_state = S.dpmsolver_step(
                         sch, ref_noisy, ref_eps, jnp.asarray(int(t)),
                         jnp.asarray(t_prev), ref_solver_state)
+            if pt is not None and t is not None:
+                pt.tick("denoise_p2+vae_enc+solver", latents)
             if progress_callback:
                 progress_callback(i, len(steps))
 
         # ---- decimate + texture-only refinement + bake -----------------
         key, kb = jax.random.split(key)
+        pt = phase_timer()
+        if pt is not None:
+            pt.mark()
         out_mesh = self._extract_and_bake(nerf_params, mesh_state, last_mt,
                                           tgt, kb, lpips_params)
+        if pt is not None:
+            pt.tick("bake", None if out_mesh is None
+                    else jnp.asarray(out_mesh.albedo))
         return {"mesh": out_mesh, "nerf_params": nerf_params,
                 "mesh_state": mesh_state, "renders": renders}
 

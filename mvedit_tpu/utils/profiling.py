@@ -33,3 +33,60 @@ def annotate(name):
     import jax
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+class PhaseTimer:
+    """Wall-clock phase accounting for the MVEdit loop (bench.py --e2e).
+
+    Tick-based: `tick(name, *arrays)` SYNCs the given arrays via scalar
+    readback (block_until_ready does not synchronize through the axon
+    tunnel) and charges the elapsed time since the previous tick to
+    `name`. Installing a timer adds one ~27 ms tunnel roundtrip per tick —
+    negligible against the multi-second phases it measures.
+    """
+
+    def __init__(self):
+        from collections import defaultdict
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self._last = None
+
+    def mark(self):
+        import time
+        self._last = time.perf_counter()
+
+    def tick(self, name, *arrays):
+        import time
+        import jax
+        import jax.numpy as jnp
+        for a in arrays:
+            if a is None:
+                continue
+            leaves = jax.tree_util.tree_leaves(a)
+            for x in leaves:
+                if hasattr(x, "dtype") and jnp.issubdtype(
+                        x.dtype, jnp.floating):
+                    float(jnp.sum(x))
+                    break
+        now = time.perf_counter()
+        if self._last is not None:
+            self.totals[name] += now - self._last
+            self.counts[name] += 1
+        self._last = now
+
+    def report(self):
+        return {k: round(v, 3) for k, v in
+                sorted(self.totals.items(), key=lambda kv: -kv[1])}
+
+
+_PHASE_TIMER = None
+
+
+def set_phase_timer(t):
+    """Install (or clear, with None) the global pipeline phase timer."""
+    global _PHASE_TIMER
+    _PHASE_TIMER = t
+
+
+def phase_timer():
+    return _PHASE_TIMER

@@ -310,3 +310,164 @@ def test_do_segmentation_refine_hook():
     m2 = do_segmentation(img, miss_fn, bg_color=(0.0, 0.0, 0.0))
     assert m2[0, 4:12, 4:12, 0].min() == 1.0   # fg block forced on
     assert m2[0, 0, 0, 0] == 0.0               # true bg stays off
+
+
+# ---------------------------------------------------------------------------
+# SAM (box-prompted segmentation refinement)
+# ---------------------------------------------------------------------------
+
+def test_sam_tiny_predict_box():
+    """Tiny-config SAM end to end: image -> box prompt -> binary mask at
+    the original resolution (reference path pipelines/utils.py:108-131)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvedit_tpu.models.segmentors import SamModel, SAM_TINY, \
+        sam_predict_box
+
+    model = SamModel(SAM_TINY)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, SAM_TINY.img_size,
+                                   SAM_TINY.img_size, 3)),
+                        jnp.zeros((4,)))["params"]
+    img = np.random.default_rng(0).random((48, 40, 3)).astype(np.float32)
+    mask = sam_predict_box(model, params, img,
+                           np.array([5, 5, 30, 40], np.float32))
+    assert mask.shape == (48, 40)
+    assert np.isfinite(np.asarray(mask)).all()
+    assert set(np.unique(np.asarray(mask))) <= {0.0, 1.0}
+
+
+def test_sam_converter_maps_torch_state_dict():
+    """convert_sam consumes a synthetic torch-style vit state dict with
+    the real checkpoint's key names and produces params that run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvedit_tpu.models.segmentors import SamModel, SAM_TINY, \
+        convert_sam
+
+    c = SAM_TINY
+    rng = np.random.default_rng(1)
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    hd = c.embed_dim // c.num_heads
+    t = c.tokens_hw
+    sd = {
+        "image_encoder.patch_embed.proj.weight":
+            r(c.embed_dim, 3, c.patch_size, c.patch_size),
+        "image_encoder.patch_embed.proj.bias": r(c.embed_dim),
+        "image_encoder.pos_embed": r(1, t, t, c.embed_dim),
+        "image_encoder.neck.0.weight": r(c.out_chans, c.embed_dim, 1, 1),
+        "image_encoder.neck.1.weight": np.ones(c.out_chans, np.float32),
+        "image_encoder.neck.1.bias": r(c.out_chans),
+        "image_encoder.neck.2.weight": r(c.out_chans, c.out_chans, 3, 3),
+        "image_encoder.neck.3.weight": np.ones(c.out_chans, np.float32),
+        "image_encoder.neck.3.bias": r(c.out_chans),
+        "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            r(2, c.out_chans // 2),
+        "prompt_encoder.no_mask_embed.weight": r(1, c.out_chans),
+        "mask_decoder.iou_token.weight": r(1, c.out_chans),
+        "mask_decoder.mask_tokens.weight":
+            r(c.num_multimask + 1, c.out_chans),
+        "mask_decoder.output_upscaling.0.weight":
+            r(c.out_chans, c.out_chans // 4, 2, 2),
+        "mask_decoder.output_upscaling.0.bias": r(c.out_chans // 4),
+        "mask_decoder.output_upscaling.1.weight":
+            np.ones(c.out_chans // 4, np.float32),
+        "mask_decoder.output_upscaling.1.bias": r(c.out_chans // 4),
+        "mask_decoder.output_upscaling.3.weight":
+            r(c.out_chans // 4, c.out_chans // 8, 2, 2),
+        "mask_decoder.output_upscaling.3.bias": r(c.out_chans // 8),
+        "mask_decoder.transformer.norm_final_attn.weight":
+            np.ones(c.out_chans, np.float32),
+        "mask_decoder.transformer.norm_final_attn.bias": r(c.out_chans),
+    }
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = \
+            r(1, c.out_chans)
+    ws = c.window_size
+    for i in range(c.depth):
+        p = f"image_encoder.blocks.{i}"
+        n = t if i in c.global_attn_indexes else ws
+        sd.update({
+            f"{p}.norm1.weight": np.ones(c.embed_dim, np.float32),
+            f"{p}.norm1.bias": r(c.embed_dim),
+            f"{p}.norm2.weight": np.ones(c.embed_dim, np.float32),
+            f"{p}.norm2.bias": r(c.embed_dim),
+            f"{p}.attn.qkv.weight": r(3 * c.embed_dim, c.embed_dim),
+            f"{p}.attn.qkv.bias": r(3 * c.embed_dim),
+            f"{p}.attn.proj.weight": r(c.embed_dim, c.embed_dim),
+            f"{p}.attn.proj.bias": r(c.embed_dim),
+            f"{p}.attn.rel_pos_h": r(2 * n - 1, hd),
+            f"{p}.attn.rel_pos_w": r(2 * n - 1, hd),
+            f"{p}.mlp.lin1.weight": r(4 * c.embed_dim, c.embed_dim),
+            f"{p}.mlp.lin1.bias": r(4 * c.embed_dim),
+            f"{p}.mlp.lin2.weight": r(c.embed_dim, 4 * c.embed_dim),
+            f"{p}.mlp.lin2.bias": r(c.embed_dim),
+        })
+    d = c.out_chans
+    for i in range(c.decoder_depth):
+        p = f"mask_decoder.transformer.layers.{i}"
+        for attn, ds in (("self_attn", 1), ("cross_attn_token_to_image", 2),
+                         ("cross_attn_image_to_token", 2)):
+            dd = d // ds
+            for nme, (o, in_) in (("q_proj", (dd, d)), ("k_proj", (dd, d)),
+                                  ("v_proj", (dd, d)),
+                                  ("out_proj", (d, dd))):
+                sd[f"{p}.{attn}.{nme}.weight"] = r(o, in_)
+                sd[f"{p}.{attn}.{nme}.bias"] = r(o)
+        for j in range(1, 5):
+            sd[f"{p}.norm{j}.weight"] = np.ones(d, np.float32)
+            sd[f"{p}.norm{j}.bias"] = r(d)
+        sd[f"{p}.mlp.lin1.weight"] = r(c.decoder_mlp_dim, d)
+        sd[f"{p}.mlp.lin1.bias"] = r(c.decoder_mlp_dim)
+        sd[f"{p}.mlp.lin2.weight"] = r(d, c.decoder_mlp_dim)
+        sd[f"{p}.mlp.lin2.bias"] = r(d)
+    dd = d // 2
+    for nme, (o, in_) in (("q_proj", (dd, d)), ("k_proj", (dd, d)),
+                          ("v_proj", (dd, d)), ("out_proj", (d, dd))):
+        sd[f"mask_decoder.transformer.final_attn_token_to_image."
+           f"{nme}.weight"] = r(o, in_)
+        sd[f"mask_decoder.transformer.final_attn_token_to_image."
+           f"{nme}.bias"] = r(o)
+    for i in range(c.num_multimask + 1):
+        dims = [(d, d), (d, d), (d // 8, d)]
+        for j, (o, in_) in enumerate(dims):
+            sd[f"mask_decoder.output_hypernetworks_mlps.{i}.layers."
+               f"{j}.weight"] = r(o, in_)
+            sd[f"mask_decoder.output_hypernetworks_mlps.{i}.layers."
+               f"{j}.bias"] = r(o)
+    for j, (o, in_) in enumerate([(d, d), (d, d),
+                                  (c.num_multimask + 1, d)]):
+        sd[f"mask_decoder.iou_prediction_head.layers.{j}.weight"] = \
+            r(o, in_)
+        sd[f"mask_decoder.iou_prediction_head.layers.{j}.bias"] = r(o)
+
+    params, unmatched = convert_sam(sd, c)
+    assert unmatched == [], unmatched
+
+    model = SamModel(c)
+    masks, iou = model.apply(
+        {"params": params},
+        jnp.zeros((1, c.img_size, c.img_size, 3)),
+        jnp.asarray([4.0, 4.0, 40.0, 40.0]))
+    assert masks.shape == (3, 4 * c.tokens_hw, 4 * c.tokens_hw)
+    assert iou.shape == (3,)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_run_segmentation_use_sam():
+    """use_sam=True: TRACER bbox -> SAM box-prompt refinement through the
+    runner endpoint (ref adapter3d.py:720 + utils.py:108-131)."""
+    import numpy as np
+    from mvedit_tpu.apis import Adapter3DRunner
+
+    runner = Adapter3DRunner(tiny_models=True, seed=0)
+    imgs = np.zeros((1, 32, 32, 3), np.float32)
+    imgs[0, 8:24, 8:24] = 1.0
+    masks = runner.run_segmentation(imgs, use_sam=True)
+    assert masks.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(masks)).all()

