@@ -52,9 +52,12 @@ def main():
                                              ControlNet, AttnMode)
     net = UNet2DCondition(SD15_UNET)
     B = 12  # 6 views x CFG
-    x = jnp.zeros((B, 64, 64, 4), jnp.float32)
+    # random (not zero) inputs: TPU timing is data-independent, but random
+    # data removes any doubt about sparsity/flush shortcuts in the record
+    kx, kc = jax.random.split(jax.random.PRNGKey(42))
+    x = jax.random.normal(kx, (B, 64, 64, 4), jnp.float32)
     t = jnp.full((B,), 500, jnp.int32)
-    ctx = jnp.zeros((B, 77, 768), jnp.float32)
+    ctx = jax.random.normal(kc, (B, 77, 768), jnp.float32)
     params = jax.jit(lambda k: net.init(k, x[:1], t[:1], ctx[:1]))(
         jax.random.PRNGKey(0))
     # inference params ride in bf16 (as the runner stores them): halves
@@ -89,7 +92,7 @@ def main():
         eps_c = eps_pair.reshape(6, 2, 64, 64, 4)[:, 1]
         return eps_u + 7.5 * (eps_c - eps_u)
 
-    lat6b = jnp.zeros((6, 64, 64, 4))
+    lat6b = jax.random.normal(jax.random.PRNGKey(43), (6, 64, 64, 4))
     dt_rp = _timeit(denoise_step_refpair, params, lat6b, lat6b, t[:6],
                     ctx[:6])
 
@@ -100,7 +103,7 @@ def main():
     vae_params = _bf16(jax.jit(lambda k: vae.init(
         k, jnp.zeros((1, 64, 64, 3))))(jax.random.PRNGKey(1))["params"])
     cns = tuple(ControlNet(SD15_UNET, hint_strides=3) for _ in range(2))
-    hint = jnp.zeros((1, 512, 512, 3))
+    hint = jax.random.uniform(jax.random.PRNGKey(44), (1, 512, 512, 3))
     cn_params = [
         _bf16(jax.jit(lambda k: cn.init(k, x[:1], t[:1], ctx[:1], hint)
                       )(jax.random.PRNGKey(2 + i))["params"])
@@ -112,7 +115,7 @@ def main():
                        use_reference=True)
     p1, p2 = make_noise_pred_2pass(dm)
     up = params["params"]
-    imgs = jnp.zeros((6, 512, 512, 3))
+    imgs = jax.random.uniform(jax.random.PRNGKey(45), (6, 512, 512, 3))
 
     @jax.jit
     def vae_dec(p, lat):
@@ -134,7 +137,7 @@ def main():
         lat3d = vae_enc(vae_params, dec)
         return eps2 + 0.1 * lat3d
 
-    lat6 = jnp.zeros((6, 64, 64, 4))
+    lat6 = jax.random.normal(jax.random.PRNGKey(46), (6, 64, 64, 4))
     dt_full = _timeit(full_step, lat6, n=5)
 
     rec = {
@@ -180,9 +183,10 @@ def main_sharded():
     net = UNet2DCondition(SD15_UNET)
     # production image-to-3D scale: 32 views x CFG = 64 images; shard dp
     B = max(8 * n_dev, 16)
-    x = jnp.zeros((B, 64, 64, 4), jnp.float32)
+    kx, kc = jax.random.split(jax.random.PRNGKey(42))
+    x = jax.random.normal(kx, (B, 64, 64, 4), jnp.float32)
     t = jnp.full((B,), 500, jnp.int32)
-    ctx = jnp.zeros((B, 77, 768), jnp.float32)
+    ctx = jax.random.normal(kc, (B, 77, 768), jnp.float32)
     params = jax.jit(lambda k: net.init(k, x[:1], t[:1], ctx[:1]))(
         jax.random.PRNGKey(0))
     params = _bf16(params)
