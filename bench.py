@@ -140,6 +140,23 @@ def main():
     lat6 = jax.random.normal(jax.random.PRNGKey(46), (6, 64, 64, 4))
     dt_full = _timeit(full_step, lat6, n=5)
 
+    # amortized device throughput of the headline step: K chained steps
+    # inside ONE jit (lax.fori_loop), so the ~27 ms/roundtrip tunnel
+    # dispatch+readback overhead (an artifact of this environment's axon
+    # tunnel, not of TPU serving) is paid once instead of per step
+    K_AMORT = 10
+
+    @jax.jit
+    def denoise_chain(p, lat, t, c):
+        def body(_, l):
+            eps = net.apply(p, l, t, c, mode=mode)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            g = eps_u + 7.5 * (eps_c - eps_u)
+            return jnp.concatenate([g, g], 0) * 0.999
+        return jax.lax.fori_loop(0, K_AMORT, body, lat)
+
+    dt_amort = _timeit(denoise_chain, params, x, t, ctx, n=3) / K_AMORT
+
     rec = {
         "metric": "6-view UNet CFG denoise steps/sec (512^2, joint attn)",
         "value": round(1.0 / dt, 4),
@@ -151,6 +168,9 @@ def main():
         # full p1+VAE+ControlNets+p2 pipeline timestep (refpair mode)
         "full_pipeline_denoise_step_s": round(dt_full, 4),
         "full_pipeline_denoise_steps_per_s": round(1.0 / dt_full, 4),
+        # headline step amortized inside one jit (no per-step tunnel
+        # dispatch overhead): the device's true steady-state throughput
+        "denoise_steps_per_s_amortized": round(1.0 / dt_amort, 4),
     }
     # carry the last recorded end-to-end run (bench.py --e2e, real
     # full-scale pipeline with phase breakdown) alongside the headline

@@ -70,3 +70,17 @@ for gd in ("bfloat16", "float32"):
     f = jax.jit(lambda t, x, c=c: dense_grid_encode(t, x, c))
     print(f"fine-only fwd gather_dtype={gd}: "
           f"{timeit(f, tabs, xyz)*1e3:.1f} ms", flush=True)
+
+# corner-fold sweep: fold-fewer / fold-wider gather rows, and fold-fewer
+# scatter-add rows on the table backward (round-3 optimization)
+for fold in (1, 2, 4, 8):
+    c = DenseGridConfig(fold=fold)
+    tabs = dense_grid_init(jax.random.PRNGKey(0), c)
+    f = jax.jit(lambda t, x, c=c: dense_grid_encode(t, x, c))
+    g = jax.jit(jax.grad(lambda t, x, c=c: jnp.sum(
+        dense_grid_encode(t, x, c)), argnums=0))
+    fb = jax.jit(jax.grad(lambda t, x, c=c: jnp.sum(
+        dense_grid_encode(t, x, c)), argnums=(0, 1)))
+    print(f"fold={fold}: fwd {timeit(f, tabs, xyz)*1e3:.1f} ms, "
+          f"bwd-tab {timeit(g, tabs, xyz)*1e3:.1f} ms, "
+          f"bwd-both {timeit(fb, tabs, xyz)*1e3:.1f} ms", flush=True)

@@ -40,3 +40,28 @@ bench_fit("dense s48 nostrat", RenderConfig(num_samples=48, grid_size=64, strati
 small = INGPConfig(backend="dense", dense=DenseGridConfig(resolutions=(16, 64), n_features=8))
 bench_fit("dense(16,64) s48", RenderConfig(num_samples=48, grid_size=64), small)
 bench_fit("dense s48 patch64", RenderConfig(num_samples=48, grid_size=64), dense, patch=64)
+
+# ---- corner-fold sweep at the production fit shape (s128, patch 128) ----
+for fold in (1, 8):
+    icfg = INGPConfig(backend="dense", dense=DenseGridConfig(fold=fold))
+    bench_fit(f"dense s128 fold={fold}",
+              RenderConfig(num_samples=128, grid_size=64), icfg)
+
+# ---- inference render path (chunked lax.map frame) fold sweep ----
+# the folded table is rebuilt inside the encode; this checks XLA hoists it
+# out of the per-chunk loop (LICM) instead of paying the rebuild per chunk
+for fold in (1, 8):
+    icfg = INGPConfig(backend="dense", dense=DenseGridConfig(fold=fold))
+    params = ingp_init(jax.random.PRNGKey(0), icfg)
+    dfn = partial(decode, cfg=icfg)
+    render = NF.make_image_renderer(
+        dfn, 512, 512, RenderConfig(num_samples=128, grid_size=64),
+        chunk=65536)
+    out = render(params, pose, intr * 4)
+    float(out["rgb"].sum())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = render(params, pose, intr * 4)
+        float(out["rgb"].sum())
+    print(f"render 512^2 s128 fold={fold}: "
+          f"{(time.perf_counter()-t0)/3*1e3:.0f} ms/frame", flush=True)

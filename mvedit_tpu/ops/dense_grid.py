@@ -16,6 +16,7 @@ scenes MVEdit reconstructs, a dense pyramid is strictly better on TPU:
 """
 from dataclasses import dataclass
 from functools import partial
+from itertools import product
 from typing import Tuple
 
 import jax
@@ -31,6 +32,13 @@ class DenseGridConfig:
     interpolation: str = "smoothstep"
     # gather in bf16 (fp32 master params): measured 1.4x faster fit on v5e
     gather_dtype: str = "bfloat16"
+    # corner folding: pack the +z (fold>=2), +y (fold>=4) and +x (fold=8)
+    # neighbours into the channel axis before gathering, so each point
+    # costs fold-fewer, fold-wider gather rows (and the backward costs
+    # fold-fewer scatter-add rows — the fit-step dominator). The folded
+    # table is rebuilt per call (dense shifts — bandwidth-cheap vs the
+    # gather/scatter row count it removes). 1 | 2 | 4 | 8.
+    fold: int = 8
 
     @property
     def out_dim(self):
@@ -48,18 +56,44 @@ def dense_grid_init(key, cfg: DenseGridConfig, scale=1e-4):
     return tables
 
 
+def _fold_table(tab, fold):
+    """(S, S, S, F) -> (S, S, S, fold*F) with the +z / +y / +x neighbour
+    rows packed into channels (edge rows repeat — matches per-corner index
+    clamping). Channel block order after full folding:
+    [x0y0z0, x0y0z1, x0y1z0, x0y1z1, x1y0z0, x1y0z1, x1y1z0, x1y1z1]."""
+    if fold >= 2:
+        nz = jnp.concatenate([tab[:, :, 1:], tab[:, :, -1:]], axis=2)
+        tab = jnp.concatenate([tab, nz], axis=-1)
+    if fold >= 4:
+        ny = jnp.concatenate([tab[:, 1:], tab[:, -1:]], axis=1)
+        tab = jnp.concatenate([tab, ny], axis=-1)
+    if fold >= 8:
+        nx = jnp.concatenate([tab[1:], tab[-1:]], axis=0)
+        tab = jnp.concatenate([tab, nx], axis=-1)
+    return tab
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def dense_grid_encode(tables, xyz, cfg: DenseGridConfig):
     """xyz: (..., 3) in [0, 1] -> (..., out_dim)."""
+    assert cfg.fold in (1, 2, 4, 8)
     batch_shape = xyz.shape[:-1]
     x = jnp.clip(xyz.reshape(-1, 3).astype(jnp.float32), 0.0, 1.0)
     P = x.shape[0]
+    F = cfg.n_features
     gdt = jnp.dtype(cfg.gather_dtype)
+    # corner offsets still gathered per-point, given the fold level:
+    # fold 8 -> [()], fold 4 -> x loop, fold 2 -> x,y loops, fold 1 -> all
+    loop_dims = {8: (), 4: ("x",), 2: ("x", "y"), 1: ("x", "y", "z")}[
+        cfg.fold]
+    folded_dims = [d for d in ("x", "y", "z") if d not in loop_dims]
+    axis_of = {"x": 0, "y": 1, "z": 2}
     feats = []
     for i, res in enumerate(cfg.resolutions):
-        tab = tables[f"level_{i}"].reshape(-1, cfg.n_features)
+        tab = tables[f"level_{i}"]
         if tab.dtype != gdt:
             tab = tab.astype(gdt)
+        tab = _fold_table(tab, cfg.fold).reshape(-1, cfg.fold * F)
         pos = x * res
         p0 = jnp.floor(pos)
         t = pos - p0
@@ -69,18 +103,30 @@ def dense_grid_encode(tables, xyz, cfg: DenseGridConfig):
             w = t
         p0i = p0.astype(jnp.int32)
         side = res + 1
-        acc = jnp.zeros((P, cfg.n_features), jnp.float32)
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    cx = jnp.minimum(p0i[:, 0] + dx, res)
-                    cy = jnp.minimum(p0i[:, 1] + dy, res)
-                    cz = jnp.minimum(p0i[:, 2] + dz, res)
-                    idx = (cx * side + cy) * side + cz
-                    v = jnp.take(tab, idx, axis=0)
-                    wx = w[:, 0] if dx else 1.0 - w[:, 0]
-                    wy = w[:, 1] if dy else 1.0 - w[:, 1]
-                    wz = w[:, 2] if dz else 1.0 - w[:, 2]
-                    acc = acc + v * (wx * wy * wz)[:, None]
+        # per-point weights over the folded channel blocks: outer product
+        # of (1-w, w) over folded dims, in _fold_table's block order
+        # (x slowest, z fastest)
+        wblk = jnp.ones((P, 1), jnp.float32)
+        for d in folded_dims:
+            wd = w[:, axis_of[d]]
+            wblk = (wblk[:, :, None]
+                    * jnp.stack([1.0 - wd, wd], -1)[:, None, :]
+                    ).reshape(P, -1)
+        acc = jnp.zeros((P, F), jnp.float32)
+        for offs in product(*[(0, 1)] * len(loop_dims)):
+            cc = []
+            wcorner = jnp.ones((P,), jnp.float32)
+            off = dict(zip(loop_dims, offs))
+            for d in ("x", "y", "z"):
+                a = axis_of[d]
+                if d in off:
+                    cc.append(jnp.minimum(p0i[:, a] + off[d], res))
+                    wcorner = wcorner * (w[:, a] if off[d] else 1 - w[:, a])
+                else:
+                    cc.append(jnp.minimum(p0i[:, a], res))
+            idx = (cc[0] * side + cc[1]) * side + cc[2]
+            v = jnp.take(tab, idx, axis=0).reshape(P, cfg.fold, F)
+            acc = acc + jnp.einsum(
+                "pkf,pk->pf", v.astype(jnp.float32), wblk * wcorner[:, None])
         feats.append(acc)
     return jnp.concatenate(feats, axis=-1).reshape(*batch_shape, cfg.out_dim)

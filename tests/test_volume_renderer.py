@@ -151,6 +151,33 @@ def test_dense_grid_field_matches_contract():
     assert float(jnp.abs(g["level_0"]).sum()) > 0
 
 
+def test_dense_grid_fold_levels_agree():
+    """fold 2/4/8 (wide-row corner packing) must be numerically identical
+    to the reference fold=1 eight-corner gather, values AND grads,
+    including clamped boundary points."""
+    from mvedit_tpu.ops.dense_grid import (DenseGridConfig, dense_grid_init,
+                                           dense_grid_encode)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    x = jnp.concatenate(
+        [x, jnp.array([[0., 0., 0.], [1., 1., 1.], [1., 0., .5]])])
+    cfg1 = DenseGridConfig(resolutions=(4, 9), n_features=4, fold=1,
+                           gather_dtype="float32")
+    tabs = dense_grid_init(jax.random.PRNGKey(0), cfg1, scale=1.0)
+    ref = dense_grid_encode(tabs, x, cfg1)
+    gref = jax.grad(lambda t, p: jnp.sum(
+        jnp.sin(dense_grid_encode(t, p, cfg1))), argnums=(0, 1))(tabs, x)
+    for fold in (2, 4, 8):
+        cfg = DenseGridConfig(resolutions=(4, 9), n_features=4, fold=fold,
+                              gather_dtype="float32")
+        out = dense_grid_encode(tabs, x, cfg)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+        g = jax.grad(lambda t, p: jnp.sum(
+            jnp.sin(dense_grid_encode(t, p, cfg))), argnums=(0, 1))(tabs, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gref),
+                        jax.tree_util.tree_leaves(g)):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
 def test_ingp_dense_backend_decodes():
     icfg = INGPConfig(backend="dense")
     from mvedit_tpu.ops.dense_grid import DenseGridConfig
