@@ -168,9 +168,13 @@ def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
     inv_area_w = 1.0 / jnp.where(jnp.abs(area_w) < 1e-12, 1e-12, area_w)
     b0w, b1w, b2w = (w0w * inv_area_w, w1w * inv_area_w,
                      w2w * inv_area_w)
-    # perspective-correct attribute barycentrics
+    # perspective-correct attribute barycentrics. denom -> 0 for a
+    # degenerate winner (zero-area dummy triangle when NOTHING covers the
+    # pixel): guard it, and mask with where() below — `x * hit` would keep
+    # the NaN (0 * nan = nan) and poison every shaded-loss gradient
     iz0, iz1, iz2 = 1.0 / aw[:, 2], 1.0 / bw[:, 2], 1.0 / cw[:, 2]
     denom = b0w * iz0 + b1w * iz1 + b2w * iz2
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     u = b1w * iz1 / denom
     v = b2w * iz2 / denom
     zpix = 1.0 / denom
@@ -179,8 +183,11 @@ def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
     def edge_dist(pa, pb):
         e = pb[:, :2] - pa[:, :2]
         n = jnp.stack([-e[:, 1], e[:, 0]], -1) * sgn_w[:, None]
-        nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-        d = jnp.sum((qp - pa[:, :2]) * n / jnp.clip(nn, 1e-12, None), -1)
+        # rsqrt(sumsq + eps), NOT n/clip(norm): norm's VJP at n=0 is 0/0
+        # and a degenerate (dummy) winner triangle would NaN the whole
+        # vertex gradient through the masked (0-cotangent) soft alpha
+        inv_nn = jax.lax.rsqrt(jnp.sum(n * n, -1) + 1e-12)
+        d = jnp.sum((qp - pa[:, :2]) * n, -1) * inv_nn
         return d
     d_edge = jnp.minimum(
         jnp.minimum(edge_dist(aw, bw), edge_dist(bw, cw)),
@@ -188,8 +195,9 @@ def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
     alpha_soft = jnp.clip(0.5 + d_edge, 0.0, 1.0) * hit
 
     tri_out = jnp.where(hit, wt, -1)
-    uv = jnp.stack([u, v], -1) * hit[:, None]
-    return (tri_out, uv, zpix * hit, hit.astype(jnp.float32), alpha_soft)
+    uv = jnp.where(hit[:, None], jnp.stack([u, v], -1), 0.0)
+    zpix = jnp.where(hit, zpix, 0.0)
+    return (tri_out, uv, zpix, hit.astype(jnp.float32), alpha_soft)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

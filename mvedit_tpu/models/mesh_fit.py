@@ -83,6 +83,13 @@ def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05,
     if adaptive:
         thresh = jnp.minimum(jnp.asarray(thresh, sigma.dtype),
                              jnp.percentile(sigma, 95.0) * 0.5)
+        # degenerate low-contrast field (e.g. an undertrained fit whose
+        # min density exceeds p95/2): ALL verts would start inside and
+        # marching tets has no crossings to optimize — fall back to the
+        # 70th percentile so the init surface encloses the densest 30%
+        pos_frac = jnp.mean((sigma > thresh).astype(sigma.dtype))
+        thresh = jnp.where(pos_frac > 0.95,
+                           jnp.percentile(sigma, 70.0), thresh)
     return jnp.clip((sigma - thresh) * scale, -1.0, 1.0)
 
 

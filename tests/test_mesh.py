@@ -679,3 +679,74 @@ def test_mesh_fit_structured_grid_converges():
     assert float(jnp.max(jnp.abs(s1["sdf"] - sdf0))) > 0
     mt2 = extract(s1)
     assert int(mt2["n_faces"]) > 0
+
+
+def test_rasterize_empty_mesh_finite():
+    """A frame where NOTHING covers a pixel must produce FINITE outputs:
+    the degenerate dummy winner's perspective-correct bary denominator is
+    0 and `x * hit` masking kept the resulting NaN (0 * nan = nan),
+    poisoning every shaded mesh-fit loss (regression: run_3d_to_3d
+    returned mesh=None because the fit loss was NaN from step one)."""
+    from mvedit_tpu.models.mesh.renderer import render_views, vertex_normals
+    verts = jnp.zeros((8, 3))
+    faces = jnp.zeros((16, 3), jnp.int32)
+    fmask = jnp.zeros((16,), bool)
+    cfg = RasterConfig(height=32, width=32)
+    pose = jnp.eye(3, 4).at[2, 3].set(2.5)
+    intr = jnp.array([35., 35., 16., 16.])
+    pts = project_mesh(verts, jnp.eye(3, 4), intr, cfg.near)
+    rast = rasterize(pts, faces, fmask, cfg)
+    assert np.isfinite(np.asarray(rast["bary"])).all()
+    assert np.isfinite(np.asarray(rast["z"])).all()
+    vn = vertex_normals(verts, faces, fmask.astype(jnp.float32))
+    nrm = interpolate(vn, rast, faces)
+    assert np.isfinite(np.asarray(nrm)).all()
+    out = render_views(verts, faces, fmask, pose[None], intr[None], cfg,
+                       shading_fun=lambda xyz, n, v: xyz * 0.5 + 0.5)
+    for k in ("rgb", "normal", "alpha", "depth"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_init_sdf_low_contrast_field_has_crossings():
+    """An undertrained density field whose minimum exceeds p95/2 must NOT
+    init the SDF all-positive (no marching-tets crossings -> the mesh
+    phase can never form a surface); the adaptive threshold falls back to
+    the 70th percentile."""
+    from mvedit_tpu.models.mesh_fit import init_sdf_from_density
+    from mvedit_tpu.models.mesh.structured_tets import StructuredTetGrid
+    g = StructuredTetGrid(8)
+    r2 = jnp.sum(jnp.asarray(g.verts) ** 2, -1)
+    # near-uniform, all-positive, slightly denser at the origin
+    density_fn = lambda x: 0.02 + 0.02 * jnp.exp(-jnp.sum(x * x, -1))
+    sdf = init_sdf_from_density(density_fn, g)
+    pos = float(jnp.mean((sdf > 0).astype(jnp.float32)))
+    assert 0.05 < pos < 0.95
+    # a well-separated field keeps the reference threshold behavior
+    strong_fn = lambda x: jnp.where(jnp.sum(x * x, -1) < 0.25, 100.0, 0.0)
+    sdf2 = init_sdf_from_density(strong_fn, g)
+    inside = np.asarray(jnp.sum(jnp.asarray(g.verts) ** 2, -1) < 0.25)
+    assert (np.asarray(sdf2 > 0) == inside).all()
+
+
+def test_soft_alpha_grad_finite_with_degenerate_winners():
+    """Backward through the soft-silhouette alpha must stay finite when
+    some pixels' winning 'triangle' is the zero-area dummy (nothing covers
+    them): norm(n)'s VJP at n=0 is 0/0 and the masked multiply kept the
+    NaN (this NaN'd the SDF one step into every real-TPU mesh fit)."""
+    from mvedit_tpu.models.mesh.renderer import render_views
+    verts = jnp.array([[-0.4, -0.4, 2.0], [0.4, -0.4, 2.0],
+                       [0.0, 0.5, 2.0], [0.0, 0.0, 0.0]])
+    faces = jnp.array([[0, 1, 2], [3, 3, 3], [3, 3, 3]], jnp.int32)
+    fmask = jnp.array([True, False, False])
+    cfg = RasterConfig(height=32, width=32)
+    pose = jnp.eye(3, 4)  # camera at origin looking +z (triangle at z=2)
+    intr = jnp.array([35., 35., 16., 16.])
+
+    def loss(v):
+        out = render_views(v, faces, fmask, pose[None], intr[None], cfg)
+        return jnp.sum(out["alpha"]) + jnp.sum(out["normal"]) \
+            + jnp.sum(out["depth"])
+
+    g = jax.grad(loss)(verts)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
