@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow  # integration tier: full B7 tower compile is ~50 s on the 1-core CPU mesh; TRACER decoder + converter covered by the tracer tests
 def test_efficientnet_b7_feature_channels():
     from mvedit_tpu.models.segmentors import EfficientEncoderB7
     enc = EfficientEncoderB7()
@@ -28,6 +29,7 @@ def test_tracer_segment_full():
     assert float(masks.min()) >= 0 and float(masks.max()) <= 1
 
 
+@pytest.mark.slow  # integration tier: DPT tower covered by test_dpt_converter_roundtrip
 def test_dpt_normal_model_shapes():
     from mvedit_tpu.models.segmentors.dpt import DPTNormalModel
     m = DPTNormalModel(vit_layers=2, readout_taps=(0, 1),
@@ -142,6 +144,7 @@ def test_dpt_converter_roundtrip():
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.slow  # integration tier: LoFTR weights path covered by test_loftr_converter_roundtrip, pose solve by pose-estimation tests
 def test_loftr_matching_flow():
     from mvedit_tpu.models.segmentors.loftr import LoFTR, match_images
     m = LoFTR(layers=1)
@@ -459,6 +462,7 @@ def test_sam_converter_maps_torch_state_dict():
     assert np.isfinite(np.asarray(masks)).all()
 
 
+@pytest.mark.slow  # integration tier: SAM network covered by test_sam_tiny_predict_box, TRACER endpoint by test_run_segmentation
 def test_run_segmentation_use_sam():
     """use_sam=True: TRACER bbox -> SAM box-prompt refinement through the
     runner endpoint (ref adapter3d.py:720 + utils.py:108-131)."""

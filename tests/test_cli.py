@@ -218,6 +218,7 @@ def test_viewers_headless(tmp_path):
     assert np.isfinite(frame).all()
 
 
+@pytest.mark.slow  # integration tier: inception features covered by test_inception_features_shape
 def test_inception_stat_cli(tmp_path):
     """tools/inception_stat.py writes {feats, mu, sigma} over a dataset
     (reference tools/inception_stat.py analog)."""
@@ -238,6 +239,7 @@ def test_inception_stat_cli(tmp_path):
     assert d["sigma"].shape == (2048, 2048)
 
 
+@pytest.mark.slow  # integration tier: trainer loop covered by test_two_stage_training_and_recons_eval and test_training.py
 def test_train_eval_hook(tmp_path):
     """--eval-interval logs held-out PSNR to eval.jsonl during training
     (GenerativeEvalHook3D role)."""

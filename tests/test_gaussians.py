@@ -63,6 +63,7 @@ def test_gaussian_grads_flow():
     assert abs(float(g[0, 0])) > 1e-3  # moving in x shifts the blob
 
 
+@pytest.mark.slow  # integration tier: gaussian rasterizer covered by the other test_gaussians tests; GRM itself is a reference skeleton
 def test_grm_skeleton_shapes():
     from mvedit_tpu.models.grm import (GRMConfig, GRMEncoder,
                                        GaussianUpsampler,

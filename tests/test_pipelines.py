@@ -149,6 +149,7 @@ def test_denoise_1pass_2pass_consistency():
                                atol=2e-4)
 
 
+@pytest.mark.slow  # integration tier: denoise routing covered by test_reference_pair_denoise/test_denoise_1pass_2pass_consistency; full instruct path by test_run_retex_instruct_front_view
 def test_instruct_extra_controlnet_is_applied():
     """Instruct mode's third (ip2p) ControlNet must change the noise
     prediction in both 1-pass and 2-pass p1 (ref adapter3d_mixin.py:172-186

@@ -148,6 +148,7 @@ def test_interp_grads_flow():
 # volume UNet
 
 
+@pytest.mark.slow  # integration tier: volume UNet blocks covered by test_unet_volume_encoder_stack
 def test_unet_volume_shapes_and_skips():
     from mvedit_tpu.models.volume_unet import UNetVolume, VolumeUNetConfig
     cfg = VolumeUNetConfig(in_channels=4, out_channels=6,
