@@ -183,8 +183,11 @@ def main():
         rec["e2e_s"] = e2e.get("value")
         rec["e2e_phases_s"] = e2e.get("phases_s")
         rec["e2e_unit_costs_s"] = e2e.get("unit_costs_s")
+        rec["e2e_unit_costs_steady_s"] = e2e.get("unit_costs_steady_s")
         rec["e2e_production_schedule_modeled_s"] = e2e.get(
             "e2e_production_schedule_modeled_s")
+        rec["e2e_production_schedule_modeled_steady_s"] = e2e.get(
+            "e2e_production_schedule_modeled_steady_s")
         rec["e2e_reduced_schedule"] = e2e.get("reduced_schedule")
     print(json.dumps(rec))
 
@@ -288,6 +291,23 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
                  + 120 * mesh_unit + 9 * 80 * mesh_unit
                  + 24 * den_unit + 25 * render_unit
                  + phases.get("bake", 0.0))
+
+    # compile-excluded (steady-state) unit costs: the wall-amortized units
+    # above fold first-call XLA compiles into the per-step cost (e.g. mesh
+    # fit 7.0 "s/step" wall vs ~1.6 s measured steady). The steady model is
+    # the production number once the persistent compile cache is warm.
+    def _st(name, per):
+        s = pt.steady(name)
+        return (s / per) if s is not None else None
+    nerf_st = _st("nerf_fit", n_inverse_steps) or nerf_unit
+    mesh_st = _st("mesh_fit", n_inverse_steps) or mesh_unit
+    den_st = ((pt.steady("denoise_p1+vae_dec") or 0.0)
+              + (pt.steady("denoise_p2+vae_enc+solver") or 0.0)) or den_unit
+    render_st = pt.steady("render_all") or render_unit
+    e2e_model_steady = (256 * nerf_st + 15 * 80 * nerf_st
+                        + 120 * mesh_st + 9 * 80 * mesh_st
+                        + 24 * den_st + 25 * render_st
+                        + phases.get("bake", 0.0))
     rec = {
         "metric": "e2e 3d-to-3d wall clock (reduced steps, 512^2, tet 128)",
         "value": round(wall, 2),
@@ -304,7 +324,14 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
             "mesh_fit_step": round(mesh_unit, 4),
             "denoise_timestep": round(den_unit, 3),
             "render_all": round(render_unit, 3)},
+        "unit_costs_steady_s": {
+            "nerf_fit_step": round(nerf_st, 4),
+            "mesh_fit_step": round(mesh_st, 4),
+            "denoise_timestep": round(den_st, 3),
+            "render_all": round(render_st, 3)},
         "e2e_production_schedule_modeled_s": round(e2e_model, 1),
+        "e2e_production_schedule_modeled_steady_s": round(
+            e2e_model_steady, 1),
         "mesh_ok": out.get("mesh") is not None,
     }
     print(json.dumps(rec))

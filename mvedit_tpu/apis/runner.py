@@ -40,6 +40,11 @@ __all__ = ["Adapter3DRunner"]
 class Adapter3DRunner(EndpointsMixin):
     def __init__(self, checkpoint_dir=None, fp16=False, seed=42,
                  tiny_models=False):
+        if checkpoint_dir is not None:
+            # huggingface://org/repo resolves against the LOCAL HF cache
+            # (reference configs' load_from scheme; zero-egress here)
+            from ..utils.hub import resolve_checkpoint
+            checkpoint_dir = resolve_checkpoint(checkpoint_dir)
         self.checkpoint_dir = checkpoint_dir
         self.seed = seed
         self.tiny = tiny_models

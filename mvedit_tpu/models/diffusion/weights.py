@@ -25,7 +25,13 @@ __all__ = ["convert_unet", "convert_controlnet", "convert_vae",
 
 
 def load_torch_state(path):
-    """Load a torch .bin/.pt/.safetensors checkpoint into {key: np.ndarray}."""
+    """Load a torch .bin/.pt/.safetensors checkpoint into {key: np.ndarray}.
+
+    Accepts huggingface://org/repo/file refs (resolved against the local
+    HF cache — see utils/hub.py; reference configs' load_from scheme)."""
+    from ...utils.hub import is_hub_path, resolve_checkpoint
+    if is_hub_path(path):
+        path = resolve_checkpoint(path)
     if str(path).endswith(".safetensors"):
         from safetensors import safe_open
         out = {}

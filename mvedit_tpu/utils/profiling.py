@@ -49,6 +49,7 @@ class PhaseTimer:
         from collections import defaultdict
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.durations = defaultdict(list)  # per-tick wall times
         self._last = None
 
     def mark(self):
@@ -72,7 +73,17 @@ class PhaseTimer:
         if self._last is not None:
             self.totals[name] += now - self._last
             self.counts[name] += 1
+            self.durations[name].append(now - self._last)
         self._last = now
+
+    def steady(self, name, skip=1):
+        """Median per-tick wall time after dropping the first `skip`
+        ticks (which carry XLA compiles); None if too few ticks.
+        Later recompiles (view-bucket changes) are outliers the median
+        rejects."""
+        import statistics
+        d = self.durations.get(name, [])[skip:]
+        return statistics.median(d) if d else None
 
     def report(self):
         return {k: round(v, 3) for k, v in

@@ -223,3 +223,26 @@ def test_convert_ip_adapter_grafts_into_unet():
     out = m.unet.apply({"params": merged}, x, t, ctx,
                        mode=AttnMode(ip_tokens=4), ip_context=ip_ctx)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_huggingface_scheme_resolution(tmp_path, monkeypatch):
+    """huggingface:// refs resolve against the local HF cache (offline);
+    misses raise a clear zero-egress error (utils/hub.py)."""
+    import pytest
+    from mvedit_tpu.utils.hub import resolve_checkpoint, is_hub_path
+
+    snap = (tmp_path / "hub" / "models--org--repo" / "snapshots" / "abc123")
+    (snap / "unet").mkdir(parents=True)
+    f = snap / "unet" / "model.safetensors"
+    f.write_bytes(b"x")
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+
+    assert not is_hub_path("/local/path")
+    assert resolve_checkpoint("/local/path") == "/local/path"
+    got = resolve_checkpoint("huggingface://org/repo/unet/model.safetensors")
+    assert got == str(f)
+    assert resolve_checkpoint("huggingface://org/repo") == str(snap)
+    with pytest.raises(FileNotFoundError, match="egress"):
+        resolve_checkpoint("huggingface://org/missing/file.bin")
+    with pytest.raises(ValueError):
+        resolve_checkpoint("huggingface://onlyorg")
