@@ -301,8 +301,13 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
         return (s / per) if s is not None else None
     nerf_st = _st("nerf_fit", n_inverse_steps) or nerf_unit
     mesh_st = _st("mesh_fit", n_inverse_steps) or mesh_unit
-    den_st = ((pt.steady("denoise_p1+vae_dec") or 0.0)
-              + (pt.steady("denoise_p2+vae_enc+solver") or 0.0)) or den_unit
+    # fall back to the wall-amortized unit unless BOTH denoise phases
+    # produced a steady median — using one alone would silently drop half
+    # the denoise cost from the modeled steady-state figure
+    _den_p1 = pt.steady("denoise_p1+vae_dec")
+    _den_p2 = pt.steady("denoise_p2+vae_enc+solver")
+    den_st = (_den_p1 + _den_p2) if (
+        _den_p1 is not None and _den_p2 is not None) else den_unit
     render_st = pt.steady("render_all") or render_unit
     e2e_model_steady = (256 * nerf_st + 15 * 80 * nerf_st
                         + 120 * mesh_st + 9 * 80 * mesh_st

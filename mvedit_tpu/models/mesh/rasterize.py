@@ -171,10 +171,16 @@ def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
     # perspective-correct attribute barycentrics. denom -> 0 for a
     # degenerate winner (zero-area dummy triangle when NOTHING covers the
     # pixel): guard it, and mask with where() below — `x * hit` would keep
-    # the NaN (0 * nan = nan) and poison every shaded-loss gradient
-    iz0, iz1, iz2 = 1.0 / aw[:, 2], 1.0 / bw[:, 2], 1.0 / cw[:, 2]
+    # the NaN (0 * nan = nan) and poison every shaded-loss gradient.
+    # Clamp depths away from 0 BEFORE inverting: a dummy winner with a
+    # vertex at camera z=0 yields iz=inf, denom=0*inf=NaN, and NaN passes
+    # a plain |denom|<eps guard straight into the vertex-gradient VJP.
+    def _inv_z(z):
+        return 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz0, iz1, iz2 = _inv_z(aw[:, 2]), _inv_z(bw[:, 2]), _inv_z(cw[:, 2])
     denom = b0w * iz0 + b1w * iz1 + b2w * iz2
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    denom = jnp.where(jnp.isfinite(denom) & (jnp.abs(denom) >= 1e-12),
+                      denom, 1e-12)
     u = b1w * iz1 / denom
     v = b2w * iz2 / denom
     zpix = 1.0 / denom

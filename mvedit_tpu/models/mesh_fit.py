@@ -80,9 +80,9 @@ def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05,
     the occupancy grid's mean-clamped threshold) so an undertrained field
     still yields a surface instead of an empty tet grid."""
     sigma = density_fn(jnp.asarray(grid.verts))
+    thresh = jnp.asarray(thresh, sigma.dtype)
     if adaptive:
-        thresh = jnp.minimum(jnp.asarray(thresh, sigma.dtype),
-                             jnp.percentile(sigma, 95.0) * 0.5)
+        thresh = jnp.minimum(thresh, jnp.percentile(sigma, 95.0) * 0.5)
         # degenerate low-contrast field (e.g. an undertrained fit whose
         # min density exceeds p95/2): ALL verts would start inside and
         # marching tets has no crossings to optimize — fall back to the
@@ -90,6 +90,15 @@ def init_sdf_from_density(density_fn, grid: TetGrid, thresh=5.0, scale=0.05,
         pos_frac = jnp.mean((sigma > thresh).astype(sigma.dtype))
         thresh = jnp.where(pos_frac > 0.95,
                            jnp.percentile(sigma, 70.0), thresh)
+    # symmetric guard (applies regardless of `adaptive`): an all-OUTSIDE
+    # init — near-zero density everywhere with the threshold stuck above
+    # it — yields an SDF with no marching-tets crossings and a mesh phase
+    # that can never form a surface. Fall back to the 70th percentile so
+    # the init surface always has crossings (unless sigma is constant,
+    # where no threshold can help).
+    pos_frac = jnp.mean((sigma > thresh).astype(sigma.dtype))
+    thresh = jnp.where(pos_frac < 0.02,
+                       jnp.percentile(sigma, 70.0), thresh)
     return jnp.clip((sigma - thresh) * scale, -1.0, 1.0)
 
 

@@ -62,7 +62,9 @@ def fid_from_feats(feats_a, feats_b, eps=1e-6):
     s1 = np.cov(feats_a, rowvar=False)
     s2 = np.cov(feats_b, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(s1 @ s2, disp=False)
+    # sqrtm's `disp` kwarg is deprecated (removal slated for SciPy 1.18);
+    # call plainly and gate the regularized retry on finiteness instead
+    covmean = scipy.linalg.sqrtm(s1 @ s2)
     if not np.isfinite(covmean).all():
         covmean = scipy.linalg.sqrtm(
             (s1 + eps * np.eye(len(s1))) @ (s2 + eps * np.eye(len(s2))))

@@ -43,17 +43,48 @@ def _split(path):
             "huggingface://org/repo[/filename]")
     repo_id = "/".join(parts[:2])
     filename = "/".join(parts[2:]) or None
+    if filename is not None:
+        # reject traversal before any resolution: '..' segments would let
+        # 'huggingface://org/repo/../..' escape the snapshot directory
+        norm = os.path.normpath(filename)
+        if norm.startswith("..") or os.path.isabs(norm):
+            raise ValueError(
+                f"refusing path traversal in checkpoint filename "
+                f"{filename!r} (escapes the snapshot directory)")
     return repo_id, filename
 
 
 def _scan_cache(repo_id, filename):
-    """Manual resolution against the standard HF cache tree."""
+    """Manual resolution against the standard HF cache tree.
+
+    Prefers the snapshot ``refs/main`` points to (newest-mtime is a stale
+    tiebreak when several revisions are cached), and rejects filenames
+    whose normalized join escapes the snapshot directory (a URI like
+    ``huggingface://org/repo/../..`` must not resolve outside the cache).
+    """
     repo_dir = os.path.join(_cache_root(),
                             "models--" + repo_id.replace("/", "--"))
     snaps = sorted(glob.glob(os.path.join(repo_dir, "snapshots", "*")),
                    key=os.path.getmtime, reverse=True)
+    ref_main = os.path.join(repo_dir, "refs", "main")
+    if os.path.isfile(ref_main):
+        try:
+            with open(ref_main) as f:
+                rev = f.read().strip()
+            pinned = os.path.join(repo_dir, "snapshots", rev)
+            if os.path.isdir(pinned):
+                snaps = [pinned] + [s for s in snaps if s != pinned]
+        except OSError:
+            pass
     for snap in snaps:
-        cand = os.path.join(snap, filename) if filename else snap
+        if filename:
+            cand = os.path.normpath(os.path.join(snap, filename))
+            if not cand.startswith(os.path.normpath(snap) + os.sep):
+                raise ValueError(
+                    f"refusing path traversal in checkpoint filename "
+                    f"{filename!r} (escapes the snapshot directory)")
+        else:
+            cand = snap
         if os.path.exists(cand):
             return cand
     return None
@@ -75,8 +106,10 @@ def resolve_checkpoint(path):
                                    local_files_only=True)
         from huggingface_hub import snapshot_download
         return snapshot_download(repo_id, local_files_only=True)
-    except Exception:
-        pass  # fall through to the manual cache scan
+    except ImportError:
+        pass  # no huggingface_hub: manual cache scan below
+    except OSError:
+        pass  # incl. the hub's LocalEntryNotFoundError (cache miss)
     found = _scan_cache(repo_id, filename)
     if found:
         return found

@@ -706,6 +706,19 @@ def test_rasterize_empty_mesh_finite():
     for k in ("rgb", "normal", "alpha", "depth"):
         assert np.isfinite(np.asarray(out[k])).all(), k
 
+    # The backward pass must be finite too: a dummy winner with a vertex
+    # at camera-space z=0 made iz=1/0=inf, denom=0*inf=NaN — which passed
+    # the old |denom|<eps guard and leaked NaN into vertex grads via the
+    # where() VJP (0-cotangent x NaN partial). Forward-only checks missed
+    # it; pin the gradient.
+    def _loss(v):
+        o = render_views(v, faces, fmask, pose[None], intr[None], cfg,
+                         shading_fun=lambda xyz, n, vd: xyz * 0.5 + 0.5)
+        return (jnp.sum(o["alpha"]) + jnp.sum(o["normal"])
+                + jnp.sum(o["depth"]) + jnp.sum(o["rgb"]))
+    g = jax.grad(_loss)(verts)
+    assert np.isfinite(np.asarray(g)).all()
+
 
 def test_init_sdf_low_contrast_field_has_crossings():
     """An undertrained density field whose minimum exceeds p95/2 must NOT
@@ -726,6 +739,13 @@ def test_init_sdf_low_contrast_field_has_crossings():
     sdf2 = init_sdf_from_density(strong_fn, g)
     inside = np.asarray(jnp.sum(jnp.asarray(g.verts) ** 2, -1) < 0.25)
     assert (np.asarray(sdf2 > 0) == inside).all()
+    # symmetric degenerate: an all-OUTSIDE init (density ~0 everywhere,
+    # e.g. a fit that never converged, threshold stuck above the field)
+    # must still produce an sdf with sign crossings, not an all-negative
+    # field with no surface — even with the adaptive p95 clamp disabled
+    weak_fn = lambda x: 1e-3 * jnp.exp(-2.0 * jnp.sum(x * x, -1))
+    sdf3 = init_sdf_from_density(weak_fn, g, thresh=5.0, adaptive=False)
+    assert float(jnp.max(sdf3)) > 0.0 and float(jnp.min(sdf3)) <= 0.0
 
 
 def test_soft_alpha_grad_finite_with_degenerate_winners():

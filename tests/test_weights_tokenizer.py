@@ -246,3 +246,21 @@ def test_huggingface_scheme_resolution(tmp_path, monkeypatch):
         resolve_checkpoint("huggingface://org/missing/file.bin")
     with pytest.raises(ValueError):
         resolve_checkpoint("huggingface://onlyorg")
+
+    # refs/main must win over a newer-mtime stale snapshot
+    import os
+    stale = snap.parent / "stale99"
+    (stale / "unet").mkdir(parents=True)
+    (stale / "unet" / "model.safetensors").write_bytes(b"y")
+    os.utime(stale, (4e9, 4e9))  # newest mtime
+    refs = snap.parent.parent / "refs"
+    refs.mkdir(exist_ok=True)
+    (refs / "main").write_text("abc123")
+    assert resolve_checkpoint("huggingface://org/repo") == str(snap)
+    got = resolve_checkpoint("huggingface://org/repo/unet/model.safetensors")
+    assert got == str(f)
+
+    # a filename that escapes the snapshot directory must be rejected
+    (tmp_path / "hub" / "secret.txt").write_text("s")
+    with pytest.raises(ValueError, match="traversal"):
+        resolve_checkpoint("huggingface://org/repo/../../secret.txt")
