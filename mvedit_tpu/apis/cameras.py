@@ -39,6 +39,8 @@ CONSTANTS = dict(
     ssdnerf_front_azi=math.pi / 2,
     # per-view camera weights for zero123plus_to_mesh (adapter3d.py:820)
     zero123plus_cam_weights=[3.0] + [1.5, 0.95, 0.93, 0.88, 1.0, 1.45] * 6,
+    # v1.2 rig weights (adapter3d.py:918 run_zero123plus1_2_to_mesh)
+    zero123plus1_2_cam_weights=[2.0] + [1.1, 0.95, 0.9, 0.85, 1.0, 1.05] * 6,
     vonmises_kappa=0.3,
 )
 

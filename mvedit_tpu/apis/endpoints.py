@@ -307,9 +307,32 @@ class EndpointsMixin:
         m.schedule = S.sd_schedule(prediction_type="v_prediction")
         return m
 
+    def load_zero123plus_normal(self, version="1.2"):
+        """The v1.2 normal-generation pipe: a separately-weighted Zero123++
+        UNet plus an RGB-conditioned ControlNet whose hint is the generated
+        RGB grid (ref `zero123plus_normal_pipe` = DepthControlUNet wrapper,
+        `lib/pipelines/zero123plus.py:178`; invoked with
+        `depth_image=mv_result`, adapter3d.py:461-488)."""
+        import copy
+        m = copy.copy(self.load_zero123plus(version))
+        key = jax.random.PRNGKey(self.seed + 7)
+        lat = jnp.zeros((1, 8, 8, 4))
+        t0 = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 8, m.text_cfg.hidden_size))
+        m.unet_params = self._load_params(
+            f"z123_normal_unet:{version}",
+            lambda: m.unet.init(key, lat, t0, ctx)["params"],
+            subdir="zero123plus_normal_unet")
+        nets, params = self.load_controlnets(kinds=("z123_normal",))
+        m.controlnet, m.cn_params = nets[0], params[0]
+        return m
+
     def run_zero123plus(self, image, seed=42, num_steps=None,
-                        version="1.1"):
-        """Image -> 6-view grid (adapter3d.py:737-765)."""
+                        version="1.1", return_normal=False):
+        """Image -> 6-view grid (adapter3d.py:737-765). With
+        `return_normal` (v1.2), a second diffusion pass through the normal
+        UNet + RGB ControlNet produces the matching normal grid
+        (adapter3d.py:465-467) and (grid, normal_grid) is returned."""
         from ..pipelines import Zero123PlusConfig, Zero123PlusPipeline
         m = self.load_zero123plus(version)
         tiny = self.tiny
@@ -327,7 +350,15 @@ class EndpointsMixin:
             image, (1, m.vision.cfg.image_size, m.vision.cfg.image_size, 3),
             "bilinear")
         out = pipe(img_r, jax.random.PRNGKey(seed))
-        return np.asarray(out[0])
+        grid = np.asarray(out[0])
+        if not return_normal:
+            return grid
+        mn = self.load_zero123plus_normal(version)
+        mn.cond_pixels_clip = m.cond_pixels_clip
+        pipe_n = Zero123PlusPipeline(mn, cfg)
+        nout = pipe_n(img_r, jax.random.PRNGKey(seed + 1000),
+                      normal_cond=jnp.asarray(grid)[None])
+        return grid, np.asarray(nout[0])
 
     def _split_grid(self, grid):
         """(3h, 2w, 3) Zero123++ grid -> (6, h, w, 3) views (row-major,
@@ -338,24 +369,39 @@ class EndpointsMixin:
                          for r in range(3) for c in range(2)])
 
     def proc_zero123plus(self, image, seed=42, passes=None, num_steps=None,
-                         version="1.1"):
+                         version="1.1", return_normals=False):
         """(3 original + 3 mirrored) Zero123++ passes -> stacked views
         (proc_zero123plus, adapter3d.py:456-514). Mirrored passes flip the
-        input and un-mirror each output view. Returns (6*passes, h, w, 3)."""
+        input and un-mirror each output view. Returns (6*passes, h, w, 3);
+        with `return_normals` (v1.2 normal pipe), also the per-view normal
+        maps — mirrored passes get the normal x-channel inverted before
+        un-mirroring (adapter3d.py:484-488 `255 - mv_normal[..., 0]` +
+        ImageOps.mirror)."""
         passes = passes or (1 if self.tiny else 6)
-        views = []
+        views, normals = [], []
         img = np.asarray(image, np.float32)
         for p in range(passes):
             mirrored = p % 2 == 1
             src = img[:, ::-1] if mirrored else img
-            grid = self.run_zero123plus(src, seed=seed + p,
-                                        num_steps=num_steps,
-                                        version=version)
+            out = self.run_zero123plus(src, seed=seed + p,
+                                       num_steps=num_steps,
+                                       version=version,
+                                       return_normal=return_normals)
+            grid, ngrid = out if return_normals else (out, None)
             v6 = self._split_grid(grid)
             if mirrored:
                 v6 = v6[:, :, ::-1]
             views.append(v6)
-        return np.concatenate(views, axis=0)
+            if ngrid is not None:
+                n6 = self._split_grid(ngrid).copy()
+                if mirrored:
+                    n6[..., 0] = 1.0 - n6[..., 0]
+                    n6 = n6[:, :, ::-1]
+                normals.append(n6)
+        views = np.concatenate(views, axis=0)
+        if return_normals:
+            return views, np.concatenate(normals, axis=0)
+        return views
 
     def run_zero123plus1_2(self, image, seed=42, num_steps=None):
         """Zero123++ v1.2 6-view generation (adapter3d.py:752-765)."""
@@ -380,8 +426,18 @@ class EndpointsMixin:
         from ..pipelines import MVEdit3DPipeline
         tiny = self.tiny
         passes = passes or (1 if self.tiny else 6)
-        views = self.proc_zero123plus(image, seed=seed, passes=passes,
-                                      version=version)
+        # v1.2 runs the normal-generation pipe per pass and supervises ALL
+        # generated views with its normals (adapter3d.py:461-508,915-921)
+        gen_normal = (version == "1.2" and kwargs.get("use_normals", True)
+                      and kwargs.get("gen_normals", True))
+        if gen_normal:
+            views, gen_normals = self.proc_zero123plus(
+                image, seed=seed, passes=passes, version=version,
+                return_normals=True)
+        else:
+            views = self.proc_zero123plus(image, seed=seed, passes=passes,
+                                          version=version)
+            gen_normals = None
         poses44, fov, dist = (C.zero123plus_v11_rig() if version == "1.1"
                               else C.zero123plus_v12_rig())
         n_gen = 6 * passes
@@ -425,6 +481,20 @@ class EndpointsMixin:
         intr = np.tile(np.asarray(
             [focal, focal, size / 2, size / 2], np.float32),
             (num_views, 1))
+        # v1.2 normal-norm matting (zero123plus_postprocess,
+        # pipelines/utils.py:315-347): per-view alpha from the normal-map
+        # norm, refined edge-aware; the composited normals become the
+        # supervision targets (adapter3d.py:495-508)
+        matte_alphas = gen_n_r = None
+        if gen_normals is not None:
+            from ..pipelines.preproc import zero123plus_postprocess
+            posts = [zero123plus_postprocess(v, n)
+                     for v, n in zip(views, gen_normals)]
+            matte_alphas = np.stack(
+                [np.asarray(jimage.resize(
+                    jnp.asarray(p[0][..., 3:], jnp.float32),
+                    (size, size, 1), "bilinear")) for p in posts])
+            gen_n_r = np.stack([rs(p[1]) for p in posts])
         # TRACER-matte the initial views (ref segments zero123++ outputs,
         # zero123plus_postprocess + get_tgt_masks) and re-segment the
         # decoded views every denoise step (mvedit_3d_pipeline.py:1254-1266)
@@ -433,18 +503,31 @@ class EndpointsMixin:
             m.segment_fn = self.make_segment_fn()
         else:
             masks = jnp.ones((num_views, size, size, 1))
-        # Omnidata normal supervision of the input view (view 0) — other
-        # views get unsupervised normal TV (mvedit_3d_pipeline.py:248-303)
+        if matte_alphas is not None:
+            # alpha = min(TRACER, normal-norm matte) (adapter3d.py:503-505
+            # `img[..., 3:] = np.minimum(img[..., 3:], alpha)`); the input
+            # view (index 0) has no generated normal and keeps TRACER alone
+            masks = jnp.concatenate(
+                [masks[:1],
+                 jnp.minimum(masks[1:], jnp.asarray(matte_alphas))], axis=0)
+        # Normal supervision: Omnidata for the input view; v1.2 additionally
+        # supervises every generated view with its generated normal map
+        # (proc_nerf_mesh use_normal=True with normals=init_normals,
+        # adapter3d.py:915-921) — v1.1 views get unsupervised normal TV only
+        # (mvedit_3d_pipeline.py:248-303)
         normals = None
         if kwargs.get("use_normals", True):
             n0 = self.predict_normals(views_r[:1])
-            normals = jnp.concatenate(
-                [n0, jnp.zeros((num_views - 1, size, size, 3))], axis=0)
+            if gen_n_r is not None:
+                normals = jnp.concatenate([n0, jnp.asarray(gen_n_r)], axis=0)
+            else:
+                normals = jnp.concatenate(
+                    [n0, jnp.zeros((num_views - 1, size, size, 3))], axis=0)
         rng = np.random.default_rng(seed)
         lights, _ = cam_utils.light_sampling(poses, rng=rng)
-        cam_w = np.asarray(
-            self.constants["zero123plus_cam_weights"][:num_views],
-            np.float32)
+        wkey = ("zero123plus_cam_weights" if version == "1.1"
+                else "zero123plus1_2_cam_weights")
+        cam_w = np.asarray(self.constants[wkey][:num_views], np.float32)
         if len(cam_w) < num_views:
             cam_w = np.pad(cam_w, (0, num_views - len(cam_w)),
                            constant_values=1.0)
@@ -456,8 +539,9 @@ class EndpointsMixin:
         }
         if normals is not None:
             targets["normals"] = normals
-            targets["normal_weights"] = jnp.asarray(
-                [1.0] + [0.0] * (num_views - 1))
+            targets["normal_weights"] = (
+                jnp.ones((num_views,)) if gen_n_r is not None
+                else jnp.asarray([1.0] + [0.0] * (num_views - 1)))
         prompt = self._join_prompts(kwargs.get("prompt", ""),
                                     nk["aux_prompt"])
         negp = self._join_prompts(kwargs.get("negative_prompt", ""),

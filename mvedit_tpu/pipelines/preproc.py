@@ -12,7 +12,8 @@ Rebuilds `lib/pipelines/utils.py`:
 import numpy as np
 
 __all__ = ["pad_rgba_image", "guided_filter", "refine_alpha",
-           "zero123plus_postprocess", "do_segmentation"]
+           "zero123plus_matte_alpha", "zero123plus_postprocess",
+           "do_segmentation"]
 
 
 def pad_rgba_image(rgba, ratio=0.75):
@@ -71,28 +72,67 @@ def refine_alpha(image, alpha, radius=8, eps=1e-4):
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
-def zero123plus_postprocess(grid_rgb, coarse_mask=None, is_normal=False,
-                            normal_bg=(0.5, 0.5, 1.0)):
-    """6-view grid background removal (pipelines/utils.py:315-347).
+def _binary_erosion(mask, k=4, border_value=0):
+    """k x k all-ones structuring-element erosion (scipy.ndimage
+    binary_erosion equivalent for a full kxk structure)."""
+    m = np.asarray(mask, bool)
+    pad = np.pad(m, k // 2 + 1, mode="constant",
+                 constant_values=bool(border_value))
+    out = np.ones_like(m)
+    h, w = m.shape
+    o = k // 2 + 1
+    for dy in range(k):
+        for dx in range(k):
+            out &= pad[o + dy - k // 2: o + dy - k // 2 + h,
+                       o + dx - k // 2: o + dx - k // 2 + w]
+    return out
 
-    grid_rgb: (H, W, 3) in [0,1]. For normal maps, alpha comes from the
-    deviation of |n| from the background normal (:345 normal-norm rule).
-    Returns (H, W, 4) RGBA.
+
+def zero123plus_matte_alpha(rgb, normal, fg_thresh=0.6, bg_thresh=0.2,
+                            erosion=4):
+    """Normal-norm alpha matte (`lib/pipelines/utils.py:315-340`
+    zero123plus_postprocess): the Zero123++ v1.2 normal model encodes
+    background as 0.5-gray, so ||n*2-1|| is a soft foreground prior.
+    Trimap = eroded fg (norm > 0.6) / eroded bg (norm < 0.2); the unknown
+    band is resolved by a guided filter over the RGB image (local linear
+    model — the same family as the reference's closed-form matting; the
+    pymatting sparse solve is replaced by its fast approximation).
+
+    rgb, normal: (H, W, 3) in [0, 1]. Returns alpha (H, W) float32.
     """
-    grid_rgb = np.asarray(grid_rgb, np.float32)
-    if is_normal:
-        dev = np.linalg.norm(grid_rgb - np.asarray(normal_bg), axis=-1)
-        alpha = np.clip(dev * 4.0, 0.0, 1.0)
-    else:
-        if coarse_mask is None:
-            # background estimate: grid corners are background (gray-ish)
-            bg = np.median(
-                np.concatenate([grid_rgb[:4].reshape(-1, 3),
-                                grid_rgb[-4:].reshape(-1, 3)]), axis=0)
-            dev = np.linalg.norm(grid_rgb - bg, axis=-1)
-            coarse_mask = np.clip(dev * 6.0 - 0.1, 0.0, 1.0)
-        alpha = refine_alpha(grid_rgb, coarse_mask)
-    return np.concatenate([grid_rgb, alpha[..., None]], axis=-1)
+    rgb = np.asarray(rgb, np.float32)
+    nvec = np.asarray(normal, np.float64) * 2 - 1
+    alpha_pred = np.linalg.norm(nvec, axis=-1)
+    is_fg = _binary_erosion(alpha_pred > fg_thresh, erosion, 0)
+    is_bg = _binary_erosion(alpha_pred < bg_thresh, erosion, 1)
+    trimap = np.full(alpha_pred.shape, 0.5, np.float64)
+    trimap[is_fg] = 1.0
+    trimap[is_bg] = 0.0
+    alpha = refine_alpha(rgb, trimap)
+    # trimap constraints are hard in closed-form matting: re-impose them
+    alpha[is_fg] = 1.0
+    alpha[is_bg] = 0.0
+    return alpha.astype(np.float32)
+
+
+def zero123plus_postprocess(rgb, normal):
+    """Per-view Zero123++ v1.2 postprocess (`lib/pipelines/utils.py:315-347`
+    zero123plus_postprocess): normal-norm matte -> RGBA cutout, and the
+    normal map renormalized to unit vectors then alpha-composited over the
+    0.5-gray background (:343-346).
+
+    rgb, normal: (H, W, 3) in [0, 1].
+    Returns (rgba (H, W, 4), normal_out (H, W, 3)) float32 in [0, 1].
+    """
+    rgb = np.asarray(rgb, np.float32)
+    normal = np.asarray(normal, np.float64)
+    alpha = zero123plus_matte_alpha(rgb, normal)
+    rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
+    nvec = normal * 2 - 1
+    nvec = nvec / (np.linalg.norm(nvec, axis=-1, keepdims=True) + 1e-8)
+    n01 = nvec * 0.5 + 0.5
+    n_out = n01 * alpha[..., None] + 0.5 * (1 - alpha[..., None])
+    return rgba.astype(np.float32), np.clip(n_out, 0, 1).astype(np.float32)
 
 
 def do_segmentation(images, segment_fn, refine_fn=None, bg_color=None,

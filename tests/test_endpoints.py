@@ -148,3 +148,87 @@ def test_run_retex_chained_superres(runner, tmp_path):
     assert out["mesh"].albedo is not None
     assert np.isfinite(out["mesh"].albedo).all()
     assert "field_params" in out
+
+
+def test_zero123plus_postprocess_normal_matte():
+    """Normal-norm matting (pipelines/utils.py:315-347): a disk of unit
+    normals over the 0.5-gray background yields alpha ~1 inside, ~0
+    outside, and the output normal re-normalized then composited over
+    gray."""
+    from mvedit_tpu.pipelines.preproc import zero123plus_postprocess
+    h = w = 64
+    yy, xx = np.mgrid[:h, :w]
+    inside = (yy - h / 2) ** 2 + (xx - w / 2) ** 2 < (h / 3) ** 2
+    normal = np.full((h, w, 3), 0.5, np.float32)
+    normal[inside] = [0.5, 0.5, 1.0]          # +z unit normal
+    rgb = np.where(inside[..., None], 0.8, 0.2).astype(np.float32)
+    rgb = np.repeat(rgb, 3, axis=-1).reshape(h, w, 3)
+    rgba, n_out = zero123plus_postprocess(rgb, normal)
+    assert rgba.shape == (h, w, 4) and n_out.shape == (h, w, 3)
+    alpha = rgba[..., 3]
+    core = (yy - h / 2) ** 2 + (xx - w / 2) ** 2 < (h / 4) ** 2
+    far = (yy - h / 2) ** 2 + (xx - w / 2) ** 2 > (h / 2.2) ** 2
+    assert alpha[core].min() > 0.9
+    assert alpha[far].max() < 0.1
+    # composited normal: +z in the core, gray background outside
+    np.testing.assert_allclose(
+        n_out[core], np.broadcast_to([0.5, 0.5, 1.0], n_out[core].shape),
+        atol=0.05)
+    np.testing.assert_allclose(n_out[far], 0.5, atol=0.05)
+
+
+def test_proc_zero123plus_mirrored_normal_unflip(runner, monkeypatch):
+    """Mirrored passes un-mirror each generated view and invert the normal
+    x-channel (adapter3d.py:484-488: `255 - mv_normal[..., 0]` then
+    ImageOps.mirror). Pinned with a stubbed generator returning the SAME
+    grid for both passes, so the expected transform is exact."""
+    rng = np.random.default_rng(0)
+    grid = rng.random((48, 32, 3)).astype(np.float32)
+    ngrid = rng.random((48, 32, 3)).astype(np.float32)
+
+    def fake_run(image, seed=42, num_steps=None, version="1.1",
+                 return_normal=False):
+        return (grid, ngrid) if return_normal else grid
+
+    base_img = rng.random((48, 32, 3)).astype(np.float32)
+    monkeypatch.setattr(runner, "run_zero123plus", fake_run)
+    views, normals = runner.proc_zero123plus(
+        base_img, passes=2, version="1.2", return_normals=True)
+    assert views.shape == (12, 16, 16, 3)
+    assert normals.shape == (12, 16, 16, 3)
+    # mirrored views: per-view horizontal mirror of the originals
+    np.testing.assert_allclose(views[6:], views[:6][:, :, ::-1], atol=1e-6)
+    # mirrored normals: x-channel inverted, then mirrored
+    expect = normals[:6].copy()
+    expect[..., 0] = 1.0 - expect[..., 0]
+    expect = expect[:, :, ::-1]
+    np.testing.assert_allclose(normals[6:], expect, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_run_zero123plus1_2_to_mesh_generated_normals(runner, tmp_path):
+    """v1.2 consumes the normal pipe's outputs for ALL generated views:
+    a second diffusion pass (RGB-conditioned normal ControlNet) per
+    Zero123++ pass, normal-norm matting min'd with TRACER, and every view
+    normal-supervised (adapter3d.py:461-508,915-921)."""
+    out_path = str(tmp_path / "img23d_12.glb")
+    seen = {}
+    orig = runner.__class__.proc_zero123plus
+
+    def spy(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if kw.get("return_normals"):
+            seen["views"], seen["normals"] = out
+        return out
+
+    runner.__class__.proc_zero123plus = spy
+    try:
+        out = runner.run_zero123plus1_2_to_mesh(
+            np.full((48, 32, 3), 0.6, np.float32), seed=3, passes=1,
+            out_path=out_path)
+    finally:
+        runner.__class__.proc_zero123plus = orig
+    assert "normals" in seen, "v1.2 did not run the normal-generation pass"
+    assert seen["normals"].shape[0] == 6
+    assert np.isfinite(seen["normals"]).all()
+    assert "nerf_params" in out
