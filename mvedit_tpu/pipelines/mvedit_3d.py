@@ -183,6 +183,11 @@ class MVEdit3DConfig:
     # default True): the cond pass pairs each view with its fixed
     # reference latent; OFF -> all-view joint attention (our extension)
     use_reference: bool = True
+    # per-step tile dumps (the reference's --debug {0,1,2} affordance,
+    # mvedit_3d_pipeline.py:392-408 save_tiled_viz): 0 = off, >=1 dumps
+    # [targets | renders] tiles per view per denoise step into debug_dir
+    debug: int = 0
+    debug_dir: str = "/tmp/mvedit_debug"
 
     def view_buckets(self):
         """Static view-buffer sizes the pipeline compiles for, descending."""
@@ -409,8 +414,14 @@ class MVEdit3DPipeline:
         # temporaries reach ~1.5GB at chunk 256, and a loaded TPU
         # executable RESERVES that arena for its lifetime — chunk 64
         # cuts it 4x for a few extra (fully parallel) map steps
+        # pairs binning, k 768 -> 1024 (r4 sweep): DMTet surface tiles
+        # hold ~900 overlapping tris at 512^2 — k 768 silently dropped
+        # ~650 covered pixels (silhouette gradients); k 1024 recovers
+        # them for +4 ms. bin_mode "t0" was A/B'd and lost on this
+        # workload both ways (capacity at tile 16, gather rows at tile 8
+        # — PERF.md r4)
         return RasterConfig(height=rs, width=rs, span=2,
-                            k_per_tile=768 if rs >= 256 else 256,
+                            k_per_tile=1024 if rs >= 256 else 256,
                             tile_chunk=64 if rs >= 512 else 256)
 
     def _mesh_fit_fns(self, tet_grid, n_steps):
@@ -848,6 +859,9 @@ class MVEdit3DPipeline:
             ctrl_depths = ctrl_depths_full
             if pt is not None:
                 pt.tick("render_all", ctrl_images)
+            if cfg.debug:
+                from ..utils.debug_viz import save_tiled_viz
+                save_tiled_viz(cfg.debug_dir, i, renders, tgt)
 
             if t is not None:
                 lat_3d = vae_enc(m.vae_params,

@@ -444,3 +444,22 @@ def test_zero123_legacy_pipeline_tiny():
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_save_tiled_viz(tmp_path):
+    """--debug tile dumps (ref save_tiled_viz, mvedit_3d_pipeline.py:392):
+    one 2x3 tile PNG per view per step, targets top / renders bottom."""
+    import numpy as np
+    from mvedit_tpu.utils.debug_viz import save_tiled_viz
+    rng = np.random.default_rng(0)
+    renders = {"rgb": rng.random((2, 16, 16, 3)).astype(np.float32),
+               "depth": rng.random((2, 16, 16)).astype(np.float32)}
+    targets = {"images": rng.random((2, 16, 16, 3)).astype(np.float32),
+               "masks": np.ones((2, 16, 16, 1), np.float32)}
+    save_tiled_viz(str(tmp_path), 3, renders, targets)
+    from PIL import Image
+    for v in range(2):
+        p = tmp_path / f"003_{v:03d}.png"
+        assert p.exists()
+        im = np.asarray(Image.open(p))
+        assert im.shape == (32, 48, 3)
