@@ -54,6 +54,15 @@ class RasterConfig:
     # lax.map shader round-trips those intermediates through HBM and
     # dominated the DMTet mesh-fit step).
     backend: str = "xla"
+    # binning: "pairs" emits one (tile, tri) pair per covered tile (exact
+    # per-tile lists, k_per_tile = overlapping-candidate capacity);
+    # "t0" bins each triangle once under its AABB-min tile and tiles
+    # gather their span^2 north-west lists (k_per_tile = per-t0 capacity,
+    # effective candidates span^2 * k + k_big). "t0" cuts the bin sort
+    # span^2-fold — the measured raster-fwd dominator on DMTet soups
+    # (PERF.md r4) — at the price of span^2 x bigger shader lists, so it
+    # fits tight-span many-small-triangle configs (the mesh-fit path).
+    bin_mode: str = "pairs"
 
     def resolved_backend(self):
         if self.backend == "auto":
@@ -93,9 +102,14 @@ def _edge(p, q, r):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
-    """Build per-tile candidate lists.
+    """Build per-tile candidate lists (see RasterConfig.bin_mode).
 
-    Returns (tile_tris (num_tiles, K) int32 tri ids, tile_valid bool mask,
+    "pairs": one sorted (tile, tri) pair per covered tile (up to span^2
+    per triangle) -> exact per-tile overlap lists.
+    "t0": each small triangle binned once under its AABB-min tile — the
+    span^2-fold smaller sort; `_gather_neighbourhood` unions the lists.
+
+    Returns (tile_tris (num_tiles, k_per_tile) int32, tile_valid,
     big_tris (k_big,), big_valid)."""
     F = faces.shape[0]
     p = pts[faces]                      # (F, 3, 3)
@@ -113,24 +127,33 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
     span = t1 - t0 + 1                  # (F, 2)
     is_big = live & ((span[:, 0] > cfg.span) | (span[:, 1] > cfg.span))
     is_small = live & (~is_big)
-
-    # emit pairs
-    S = cfg.span
-    dx = jnp.arange(S)
-    dy = jnp.arange(S)
-    gx = t0[:, 0:1] + dx[None]          # (F, S)
-    gy = t0[:, 1:2] + dy[None]
-    in_x = dx[None] < span[:, 0:1]
-    in_y = dy[None] < span[:, 1:2]
-    tile_id = (gy[:, :, None] * cfg.tiles_x + gx[:, None, :])  # (F, S, S)
-    pair_valid = (is_small[:, None, None] & in_y[:, :, None]
-                  & in_x[:, None, :])
     INVALID = jnp.int32(cfg.num_tiles)
-    keys = jnp.where(pair_valid, tile_id, INVALID).reshape(-1)
-    vals = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[:, None, None],
-        tile_id.shape).reshape(-1)
-    keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+
+    if cfg.bin_mode == "t0":
+        # bin sort over F elements instead of F * span^2 (measured 63.8
+        # -> ~25 ms of an 84 ms raster fwd at 393k faces, PERF.md r4)
+        tile_id1 = t0[:, 1] * cfg.tiles_x + t0[:, 0]      # (F,)
+        keys = jnp.where(is_small, tile_id1, INVALID)
+        keys, vals = jax.lax.sort(
+            (keys, jnp.arange(F, dtype=jnp.int32)), num_keys=1)
+    else:
+        # emit pairs
+        S = cfg.span
+        dx = jnp.arange(S)
+        dy = jnp.arange(S)
+        gx = t0[:, 0:1] + dx[None]          # (F, S)
+        gy = t0[:, 1:2] + dy[None]
+        in_x = dx[None] < span[:, 0:1]
+        in_y = dy[None] < span[:, 1:2]
+        tile_id = (gy[:, :, None] * cfg.tiles_x
+                   + gx[:, None, :])        # (F, S, S)
+        pair_valid = (is_small[:, None, None] & in_y[:, :, None]
+                      & in_x[:, None, :])
+        keys = jnp.where(pair_valid, tile_id, INVALID).reshape(-1)
+        vals = jnp.broadcast_to(
+            jnp.arange(F, dtype=jnp.int32)[:, None, None],
+            tile_id.shape).reshape(-1)
+        keys, vals = jax.lax.sort((keys, vals), num_keys=1)
 
     starts = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="left")
     ends = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="right")
@@ -139,14 +162,31 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
     idx = jnp.clip(idx, 0, keys.shape[0] - 1)
     tile_tris = vals[idx]
 
-    # big list: top-k by is_big (stable order); pad when F < k_big
-    big_order = jnp.argsort(~is_big)  # False(=0, big) first
-    big_tris = big_order[: cfg.k_big].astype(jnp.int32)
-    pad_n = cfg.k_big - big_tris.shape[0]
-    if pad_n > 0:
-        big_tris = jnp.pad(big_tris, (0, pad_n))
+    # big list: indices of the first k_big big triangles without a full
+    # argsort (nonzero lowers to cumsum + searchsorted)
+    big_tris = jnp.nonzero(is_big, size=cfg.k_big, fill_value=0)[0] \
+        .astype(jnp.int32)
     big_valid = is_big[big_tris] & (jnp.arange(cfg.k_big) < F)
     return tile_tris, tile_valid, big_tris, big_valid
+
+
+def _gather_neighbourhood(tile_tris, tile_valid, cfg: RasterConfig):
+    """Per-tile candidates = union of the span x span north-west t0
+    lists (see _bin_triangles). Returns (num_tiles, span^2 * k) ids +
+    validity."""
+    S = cfg.span
+    ty = jnp.arange(cfg.num_tiles) // cfg.tiles_x
+    tx = jnp.arange(cfg.num_tiles) % cfg.tiles_x
+    cands, valids = [], []
+    for dy in range(S):
+        for dx in range(S):
+            ny = ty - dy
+            nx = tx - dx
+            ok = (ny >= 0) & (nx >= 0)
+            n_id = jnp.where(ok, ny * cfg.tiles_x + nx, 0)
+            cands.append(tile_tris[n_id])
+            valids.append(tile_valid[n_id] & ok[:, None])
+    return jnp.concatenate(cands, 1), jnp.concatenate(valids, 1)
 
 
 def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
@@ -216,12 +256,16 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
     """
     tile_tris, tile_valid, big_tris, big_valid = _bin_triangles(
         pts, faces, face_valid, cfg)
-    # append big list to every tile
+    if cfg.bin_mode == "t0":
+        # candidates: span^2 neighbouring t0 lists (+ big list below)
+        tile_tris, tile_valid = _gather_neighbourhood(
+            tile_tris, tile_valid, cfg)
     cand = jnp.concatenate(
         [tile_tris, jnp.broadcast_to(big_tris, (cfg.num_tiles, cfg.k_big))],
         axis=1)
     cand_valid = jnp.concatenate(
-        [tile_valid, jnp.broadcast_to(big_valid, (cfg.num_tiles, cfg.k_big))],
+        [tile_valid,
+         jnp.broadcast_to(big_valid, (cfg.num_tiles, cfg.k_big))],
         axis=1)
 
     tri_p = pts[faces]  # (F, 3, 3)
@@ -318,7 +362,15 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
 
 def interpolate(attr, rast, faces):
     """Per-vertex attributes (V, C) -> per-pixel (H, W, C) using the
-    perspective-correct barycentrics (nvdiffrast.interpolate analog)."""
+    perspective-correct barycentrics (nvdiffrast.interpolate analog).
+
+    Perf note (r4, measured on chip): the autodiff backward — a scatter
+    of one row per pixel-corner into (V, C) — runs at ~50 ns/row and is
+    NOT worth replacing: a sort-based segment-sum VJP lost 2.3x (TPU
+    lax.sort passes dominate) and a hand-written scatter VJP lost ~10%
+    (its re-gathers of a0/a1/a2 cost more than autodiff's shared
+    residuals). Callers cut rows instead by packing attributes into one
+    call (render_views packs xyz+normal)."""
     tri = jnp.maximum(rast["tri_id"], 0)
     f = faces[tri]                      # (H, W, 3)
     u = rast["bary"][..., 0:1]

@@ -770,3 +770,30 @@ def test_soft_alpha_grad_finite_with_degenerate_winners():
     g = jax.grad(loss)(verts)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_bin_mode_t0_matches_pairs():
+    """The t0 neighbourhood binning must reproduce the exact-pairs raster
+    (same winners) when capacities suffice — extra candidates are rejected
+    by coverage, not by luck (rasterize bin_mode, PERF.md r4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mvedit_tpu.models.mesh.rasterize import RasterConfig, rasterize
+    rng = np.random.default_rng(5)
+    V = 120
+    verts = rng.uniform(0, 64, (V, 2)).astype(np.float32)
+    z = rng.uniform(1.0, 3.0, (V, 1)).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([verts, z], 1))
+    faces = jnp.asarray(rng.integers(0, V, (80, 3)).astype(np.int32))
+    fmask = jnp.ones((80,), bool)
+    kw = dict(height=64, width=64, tile=16, span=2, k_per_tile=128,
+              k_big=64, tile_chunk=16)
+    r_pairs = rasterize(pts, faces, fmask,
+                        RasterConfig(bin_mode="pairs", **kw))
+    r_t0 = rasterize(pts, faces, fmask, RasterConfig(bin_mode="t0", **kw))
+    np.testing.assert_array_equal(np.asarray(r_pairs["tri_id"]),
+                                  np.asarray(r_t0["tri_id"]))
+    np.testing.assert_allclose(np.asarray(r_pairs["alpha"]),
+                               np.asarray(r_t0["alpha"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_pairs["bary"]),
+                               np.asarray(r_t0["bary"]), atol=1e-6)

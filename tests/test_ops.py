@@ -254,3 +254,89 @@ def test_vdb_dumps_roundtrip():
     np.testing.assert_allclose(rec[active],
                                density[active].astype(np.float16), rtol=1e-3)
     assert np.all(rec[~active] == 0)
+
+
+class TestSortedSegmentAdd:
+    def test_matches_scatter(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from mvedit_tpu.ops.segment import segment_add
+        rng = np.random.default_rng(0)
+        N, V, C = 5000, 300, 5
+        idx = rng.integers(0, V + 40, N).astype(np.int32)  # some dropped
+        vals = rng.normal(size=(N, C)).astype(np.float32)
+        out = segment_add(jnp.asarray(idx), jnp.asarray(vals), V)
+        ref = np.zeros((V, C), np.float32)
+        keep = idx < V
+        np.add.at(ref, idx[keep], vals[keep])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
+                                   atol=1e-4)
+
+    def test_grad_is_gather(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from mvedit_tpu.ops.segment import segment_add
+        rng = np.random.default_rng(1)
+        idx = jnp.asarray(rng.integers(0, 12, 64).astype(np.int32))
+        vals = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+
+        def f(v):
+            return jnp.sum(segment_add(idx, v, 12) * w)
+
+        g = jax.grad(f)(vals)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w)[idx],
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestInterpolateVJP:
+    def _setup(self):
+        import numpy as np
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        V, F, H, W, C = 40, 30, 8, 8, 4
+        attr = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
+        faces = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+        tri_id = jnp.asarray(
+            rng.integers(-1, F, (H, W)).astype(np.int32))  # some misses
+        bary = jnp.asarray(
+            rng.uniform(0, 0.5, (H, W, 2)).astype(np.float32))
+        return attr, faces, tri_id, bary
+
+    @staticmethod
+    def _ref_interp(attr, bary, tri_id, faces):
+        import jax.numpy as jnp
+        f = faces[jnp.maximum(tri_id, 0)]
+        u, v = bary[..., 0:1], bary[..., 1:2]
+        out = (attr[f[..., 0]] * (1 - u - v) + attr[f[..., 1]] * u
+               + attr[f[..., 2]] * v)
+        return out * (tri_id >= 0)[..., None]
+
+    def test_forward_and_grads_match_autodiff(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from mvedit_tpu.models.mesh.rasterize import interpolate
+        attr, faces, tri_id, bary = self._setup()
+        rast = {"tri_id": tri_id, "bary": bary}
+        out = interpolate(attr, rast, faces)
+        ref = self._ref_interp(attr, bary, tri_id, faces)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        w = jnp.asarray(np.random.default_rng(3).normal(
+            size=out.shape).astype(np.float32))
+
+        def f_new(a, b):
+            return jnp.sum(interpolate(
+                a, {"tri_id": tri_id, "bary": b}, faces) * w)
+
+        def f_ref(a, b):
+            return jnp.sum(self._ref_interp(a, b, tri_id, faces) * w)
+
+        ga, gb = jax.grad(f_new, argnums=(0, 1))(attr, bary)
+        ra, rb = jax.grad(f_ref, argnums=(0, 1))(attr, bary)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                   rtol=2e-5, atol=1e-5)
