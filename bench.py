@@ -242,7 +242,8 @@ def main_sharded():
 
 
 def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
-             init_inverse_steps=64, tet_init_inverse_steps=32):
+             init_inverse_steps=64, tet_init_inverse_steps=32,
+             superres=False):
     """--e2e: run the REAL full-scale run_3d_to_3d flow (512^2, tet 128,
     random weights, reduced step counts) with a wall-clock phase timer,
     then model the production-schedule e2e from the measured per-unit
@@ -280,7 +281,11 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
         num_views=num_views, n_inverse_steps=n_inverse_steps,
         init_inverse_steps=init_inverse_steps,
         tet_init_inverse_steps=tet_init_inverse_steps,
-        estimate_pose=False)
+        estimate_pose=False,
+        # chained texture superres (part of every reference product path,
+        # adapter3d.py:848-857): reduced diffusion steps, but the 512-step
+        # texture fit and 2048^2 bake run at production scale
+        superres={"steps": 6} if superres else False)
     wall = time.perf_counter() - t0
     set_phase_timer(None)
     phases = pt.report()
@@ -355,9 +360,28 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
                                      4),
         "mesh_ok": out.get("mesh") is not None,
     }
+    if superres:
+        # superres phase record + production model: ~10 effective denoise
+        # steps (24 x strength 0.4); the tex fit (512 steps) and 2048^2
+        # bake already ran at production scale
+        sr_den = pt.totals.get("superres_denoise", 0.0)
+        sr_den_n = max(pt.counts.get("superres_denoise", 1), 1)
+        sr_unit = sr_den / sr_den_n
+        sr_unit_st = pt.steady("superres_denoise") or sr_unit
+        sr_rest = (phases.get("superres_tex_fit", 0.0)
+                   + phases.get("superres_bake", 0.0))
+        rec["superres_phases_s"] = {
+            k: phases[k] for k in ("superres_denoise", "superres_tex_fit",
+                                   "superres_bake") if k in phases}
+        rec["superres_denoise_step_s"] = round(sr_unit, 3)
+        rec["superres_production_modeled_s"] = round(
+            10 * sr_unit + sr_rest, 1)
+        rec["superres_production_modeled_steady_s"] = round(
+            10 * sr_unit_st + sr_rest, 1)
     print(json.dumps(rec))
+    fname = "E2E_SR_RECORD.json" if superres else "E2E_RECORD.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "E2E_RECORD.json"), "w") as fh:
+                           fname), "w") as fh:
         json.dump(rec, fh, indent=1)
 
 
@@ -368,11 +392,16 @@ if __name__ == "__main__":
     ap.add_argument("--e2e", action="store_true",
                     help="reduced-step full-scale end-to-end run with "
                          "phase breakdown")
+    ap.add_argument("--superres", action="store_true",
+                    help="with --e2e: chain the texture superres stage "
+                         "and record its phase costs")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax profiler trace of the run")
     args = ap.parse_args()
-    run = main_e2e if args.e2e else (main_sharded if args.sharded
-                                     else main)
+    if args.e2e:
+        run = lambda: main_e2e(superres=args.superres)  # noqa: E731
+    else:
+        run = main_sharded if args.sharded else main
     if args.profile:
         from mvedit_tpu.utils.profiling import trace
         with trace(args.profile):

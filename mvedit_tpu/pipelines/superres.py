@@ -124,6 +124,10 @@ class TextureSuperResPipeline:
         else:
             ip2 = None
 
+        from ..utils.profiling import phase_timer
+        pt = phase_timer()
+        if pt is not None:
+            pt.mark()
         timesteps = S.make_timesteps(cfg.diffusion_steps,
                                      sch.num_train_timesteps, "trailing")
         n_keep = int(len(timesteps) * (1 - cfg.denoising_strength))
@@ -158,6 +162,8 @@ class TextureSuperResPipeline:
             latents, solver_state = S.dpmsolver_step(
                 sch, latents, eps_unet, jnp.asarray(int(t)),
                 jnp.asarray(t_prev), solver_state)
+            if pt is not None:
+                pt.tick("superres_denoise", latents)
 
         final_views = jnp.clip(
             (vae_dec(self.m.vae_params, latents) + 1) / 2, 0, 1)
@@ -176,6 +182,8 @@ class TextureSuperResPipeline:
         opt_state = optimizer.init(params)
         params, opt_state, _ = fit(params, opt_state, geom,
                                    {"images": final_views})
+        if pt is not None:
+            pt.tick("superres_tex_fit", params)
 
         # bake at atlas_size + blend with original using UV cam weights
         out_mesh = Mesh(v=mesh.v.copy(), f=mesh.f.copy(), vn=mesh.vn,
@@ -191,6 +199,8 @@ class TextureSuperResPipeline:
             jnp.asarray(out_mesh.ft),
             FieldColor(cfg.ingp), acfg, field_params=params)
         rgb = edge_dilation(rgb, mask, n_iters=8)
+        if pt is not None:
+            pt.tick("superres_bake", rgb)
         new_albedo = np.asarray(jnp.clip(rgb, 0, 1))
         if mesh.albedo is not None \
                 and mesh.albedo.shape == new_albedo.shape:
