@@ -336,6 +336,11 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
         "unit": "s",
         "vs_baseline": None,
         "phases_s": phases,
+        # wall minus timed pipeline phases: model init (random-weight SD
+        # stack built on the single host core in this env — real
+        # checkpoints stream in far faster), aux-net loads, GLB preproc,
+        # jit tracing + persistent-cache deserialization
+        "non_phase_overhead_s": round(wall - sum(phases.values()), 1),
         "reduced_schedule": {
             "steps": steps, "num_views": num_views,
             "n_inverse_steps": n_inverse_steps,

@@ -89,11 +89,15 @@ class Adapter3DRunner(EndpointsMixin):
             params = init_fn()
         if not self.tiny:
             # inference-only frozen nets: bf16 params halve HBM (the SD
-            # UNet + 2 ControlNets alone are 6.3GB in fp32)
-            params = jax.tree_util.tree_map(
+            # UNet + 2 ControlNets alone are 6.3GB in fp32). ONE jitted
+            # cast program for the whole tree: an eager tree_map issues
+            # one device dispatch PER PARAMETER (~27 ms each over the
+            # tunnel — ~a minute per SD-sized model of pure dispatch)
+            cast = jax.jit(lambda t: jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                params)
+                t))
+            params = cast(params)
         self._cache[name] = params
         return params
 

@@ -620,9 +620,19 @@ class MVEdit3DPipeline:
         renders = None
         keep_n = max(cfg.keep_first_views, 0)
         buckets = cfg.view_buckets()
-        cur_n = cfg.num_views          # current buffer size
-        alive = np.ones(cur_n, bool)   # weight>0 mask (host mirror)
+        cur_n = cfg.num_views          # current DENOISE buffer size
+        alive = np.ones(cur_n, bool)   # weight>0 mask of the bucket
         alive &= np.asarray(tgt["cam_weights"]) > 0
+        # tgt stays FULL-SIZE for the whole run (pruned views keep
+        # weight 0 and are never sampled): the fit programs' cost is
+        # N-independent (they draw render_bs/patch_bs views by weight),
+        # so pinning their target shapes means ONE compiled fit program
+        # per phase instead of one per view bucket — bucket changes used
+        # to recompile the multi-minute mesh/NeRF fit programs mid-run
+        # (the round-3 e2e's wall-vs-steady gap). Only the denoise-side
+        # arrays (latents, embeds, ctrl images...) shrink with the
+        # bucket; `bsel` maps bucket rows -> global view ids.
+        bsel = np.arange(cur_n)
 
         p1 = p2 = one_pass = None
         prev_rs = None
@@ -657,7 +667,7 @@ class MVEdit3DPipeline:
                 n_alive = int(alive.sum())
                 if target_n < n_alive:
                     alive_ids = np.flatnonzero(alive)
-                    poses_np = np.asarray(tgt["poses"])[alive_ids]
+                    poses_np = np.asarray(tgt["poses"])[bsel[alive_ids]]
                     if ctrl_images is not None:
                         diff = np.asarray(jnp.mean(
                             (ctrl_images - init_images) ** 2,
@@ -679,10 +689,18 @@ class MVEdit3DPipeline:
                     new_alive = np.array(
                         [j in kept_global for j in range(cur_n)])
                     if not np.array_equal(new_alive, alive):
+                        # zero pruned views' weights GLOBALLY: the fit
+                        # programs see the full buffer and gate sampling
+                        # on weight > 0
+                        dead_global = np.unique(bsel[~new_alive])
+                        keep_global = np.unique(bsel[new_alive])
+                        dead_global = np.setdiff1d(dead_global, keep_global)
                         alive = new_alive
-                        tgt["cam_weights"] = jnp.where(
-                            jnp.asarray(alive), tgt["cam_weights"], 0.0)
-                # gather down to the next bucket when all dead views fit out
+                        if len(dead_global):
+                            tgt["cam_weights"] = tgt["cam_weights"].at[
+                                jnp.asarray(dead_global)].set(0.0)
+                # gather the DENOISE-side arrays down to the next bucket
+                # when all dead views fit out (tgt stays full-size)
                 n_alive = int(alive.sum())
                 for b in buckets:
                     if b < cur_n and n_alive <= b:
@@ -690,7 +708,6 @@ class MVEdit3DPipeline:
                         if len(ids) < b:   # pad with alive dupes (weight>0)
                             ids = np.concatenate(
                                 [ids, np.repeat(ids[-1:], b - len(ids))])
-                        tgt = _gather_views(tgt, ids)
                         init_images = init_images[jnp.asarray(ids)]
                         init_masks = init_masks[jnp.asarray(ids)]
                         extra_ctrl = [e[jnp.asarray(ids)]
@@ -721,6 +738,7 @@ class MVEdit3DPipeline:
                         p1 = p2 = one_pass = None
                         cur_n = b
                         alive = alive[ids]
+                        bsel = bsel[ids]
                         break
 
             N = cur_n
@@ -767,9 +785,15 @@ class MVEdit3DPipeline:
                 sa, sn = sch.sqrt_acp(jnp.asarray(int(t)))
                 x0_lat = (latents - sn * eps) / sa
                 dec_imgs = (vae_dec(m.vae_params, x0_lat) + 1) / 2
-                tgt["images"] = jnp.clip(dec_imgs, 0.0, 1.0)
+                dec_imgs = jnp.clip(dec_imgs, 0.0, 1.0)
+                # scatter the bucket's decoded views back into the FULL
+                # target buffer (pruned rows keep stale images but weight
+                # 0 — never sampled by the fits)
+                bj = jnp.asarray(bsel)
+                tgt["images"] = tgt["images"].at[bj].set(dec_imgs)
                 if getattr(m, "segment_fn", None) is not None:
-                    tgt["masks"] = m.segment_fn(tgt["images"])
+                    tgt["masks"] = tgt["masks"].at[bj].set(
+                        m.segment_fn(dec_imgs))
                 if pt is not None:
                     pt.tick("denoise_p1+vae_dec", tgt["images"])
 
@@ -833,10 +857,12 @@ class MVEdit3DPipeline:
                 if pt is not None:
                     pt.tick("mesh_fit", mesh_state["sdf"])
 
-            # ---- re-render all views -> ctrl inputs + eps_3d ----
+            # ---- re-render the bucket's views -> ctrl inputs + eps_3d ----
             _mem_debug(f"render-all i={i}")
+            tgt_b = {"poses": tgt["poses"][jnp.asarray(bsel)],
+                     "intrinsics": tgt["intrinsics"][jnp.asarray(bsel)]}
             renders = self._render_all(nerf_params, mesh_state, last_mt,
-                                       grid, tgt, rs)
+                                       grid, tgt_b, rs)
             ctrl_depths_rs = normalize_depth(
                 renders["depth"], renders["alpha"])[..., None].repeat(3, -1)
             ctrl_rgb = renders["rgb"]
@@ -861,7 +887,8 @@ class MVEdit3DPipeline:
                 pt.tick("render_all", ctrl_images)
             if cfg.debug:
                 from ..utils.debug_viz import save_tiled_viz
-                save_tiled_viz(cfg.debug_dir, i, renders, tgt)
+                save_tiled_viz(cfg.debug_dir, i, renders,
+                               _gather_views(tgt, bsel))
 
             if t is not None:
                 lat_3d = vae_enc(m.vae_params,
