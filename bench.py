@@ -356,6 +356,14 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
             "mesh_fit_step": round(mesh_st, 4),
             "denoise_timestep": round(den_st, 3),
             "render_all": round(render_st, 3)},
+        # per-call wall durations per phase (call order): makes the
+        # compile-vs-steady split auditable from the artifact — e.g.
+        # render_all's calls each carry a DIFFERENT (mode, rs, N)
+        # signature early in a run, so every one may include an XLA
+        # compile; the median alone can't show that
+        "phase_durations_s": {
+            k: [round(x, 2) for x in v]
+            for k, v in sorted(pt.durations.items())},
         "e2e_production_schedule_modeled_s": round(e2e_model, 1),
         "e2e_production_schedule_modeled_steady_s": round(
             e2e_model_steady, 1),

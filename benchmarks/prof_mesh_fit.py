@@ -173,8 +173,8 @@ if not _skip:
 
 # ---- ablations: where does the backward go? -----------------------------
 if True:
-    def run_variant(label, color, mcfg_kw=None, lp=None):
-        kw = dict(raster=rc, n_steps=1, patch_size=min(128, size),
+    def run_variant(label, color, mcfg_kw=None, lp=None, n_steps=1):
+        kw = dict(raster=rc, n_steps=n_steps, patch_size=min(128, size),
                   vert_cap=vert_cap, face_cap=vert_cap + (vert_cap >> 1))
         kw.update(mcfg_kw or {})
         f, o, _ = MF.make_mesh_fit(grid, color, MF.MeshFitConfig(**kw))
@@ -188,8 +188,9 @@ if True:
             s, os_, out = f(s, os_, targets, jax.random.PRNGKey(3 + i),
                             lpips_params=lp)
             _sync(out)
-        print(f"ablate[{label}]: {(time.perf_counter()-t0)/3*1e3:.1f} ms",
-              flush=True)
+        dt = (time.perf_counter() - t0) / 3
+        per = f" ({dt*1e3/n_steps:.1f} ms/step)" if n_steps > 1 else ""
+        print(f"ablate[{label}]: {dt*1e3:.1f} ms{per}", flush=True)
 
     const_color = lambda p, x: jnp.full(x.shape[:-1] + (3,), 0.5)  # noqa
     VARIANTS = {
@@ -203,7 +204,42 @@ if True:
             dict(reg_face_samples=16, normal_consistency_weight=0.0)),
         "noshade": lambda: run_variant("no-shading", color_fn,
                                        dict(shaded=False)),
+        # r4: frozen topology (integer extraction once per program; only
+        # the vertex lerp per step)
+        "frozen": lambda: run_variant("frozen-topology", color_fn,
+                                      dict(freeze_topology=True)),
+        "frozen8": lambda: run_variant("frozen-topology 8-step", color_fn,
+                                       dict(freeze_topology=True,
+                                            n_steps=8), n_steps=8),
+        "full8": lambda: run_variant("full 8-step", color_fn,
+                                     dict(n_steps=8), n_steps=8),
+        "adam": lambda: probe_adam(),
     }
+
+    def probe_adam():
+        # standalone Adam cost on the production-shaped state (field
+        # tables + sdf + deform): is the solver part of the ~300 ms
+        # residual?
+        import optax
+        oo = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        os_ = oo.init(s)
+        gr = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1e-4), s)
+
+        @jax.jit
+        def upd(s, os_, gr):
+            u, os_ = oo.update(gr, os_, s)
+            u = jax.tree_util.tree_map(lambda x: x * -0.01, u)
+            return optax.apply_updates(s, u), os_
+
+        s, os_ = upd(s, os_, gr)
+        _sync(s)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            s, os_ = upd(s, os_, gr)
+            _sync(s)
+        print(f"probe[adam update]: "
+              f"{(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
     names = (args.variants.split(",") if args.variants
              else list(VARIANTS))
     for nme in names:

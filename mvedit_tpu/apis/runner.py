@@ -86,7 +86,14 @@ class Adapter3DRunner(EndpointsMixin):
             if unmatched:
                 print(f"[runner] {name}: {len(unmatched)} unconverted keys")
         else:
-            params = init_fn()
+            # jit the whole init: an UNJITTED flax init dispatches every
+            # primitive eagerly — thousands of ~27 ms tunnel roundtrips
+            # per SD-sized model (the bulk of bench --e2e's 890 s
+            # non-phase overhead). One compile + one dispatch instead.
+            # Tiny (test) models skip the jit: on the in-process CPU
+            # backend eager init is milliseconds while the forced compile
+            # is seconds PER MODEL across the whole suite.
+            params = init_fn() if self.tiny else jax.jit(init_fn)()
         if not self.tiny:
             # inference-only frozen nets: bf16 params halve HBM (the SD
             # UNet + 2 ControlNets alone are 6.3GB in fp32). ONE jitted
@@ -247,16 +254,20 @@ class Adapter3DRunner(EndpointsMixin):
             m.unet_params = merge_params(m.unet_params,
                                          tree["unet_patch"])
         else:
-            proj_params = proj.init(
-                key, jnp.zeros((1, vcfg.projection_dim)))["params"]
+            # jit only full-size inits (see _load_params: over the tunnel
+            # eager init costs ~27 ms/primitive; on the CPU test backend
+            # the forced compile is the slow path instead)
+            _mj = (lambda f: f) if self.tiny else jax.jit
+            proj_params = _mj(lambda: proj.init(
+                key, jnp.zeros((1, vcfg.projection_dim)))["params"])()
             # seed the ip branches by initializing the UNet in ip mode
             lat = jnp.zeros((1, 8, 8, 4))
             t0 = jnp.zeros((1,), jnp.int32)
             ctx = jnp.zeros((1, 8, ctx_dim))
             ipc = jnp.zeros((1, num_tokens, ctx_dim))
-            full = m.unet.init(key, lat, t0, ctx,
-                               mode=AttnMode(ip_tokens=num_tokens),
-                               ip_context=ipc)["params"]
+            full = _mj(lambda: m.unet.init(
+                key, lat, t0, ctx, mode=AttnMode(ip_tokens=num_tokens),
+                ip_context=ipc)["params"])()
             m.unet_params = merge_params(full, m.unet_params)
         # CLIP normalization
         mean = jnp.asarray([0.4815, 0.4578, 0.4082])

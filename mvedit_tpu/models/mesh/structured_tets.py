@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from .dmtet import TRIANGLE_TABLE, NUM_TRIANGLES_TABLE, BASE_TET_EDGES
 
-__all__ = ["StructuredTetGrid", "marching_tets_structured"]
+__all__ = ["StructuredTetGrid", "marching_tets_structured",
+           "marching_tets_topology", "marching_tets_verts"]
 
 # 6-tet decomposition of the unit cube around diagonal 0-7 (same pattern
 # as dmtet.build_grid_tets; corner n has coords (n&1, n>>1&1, n>>2&1))
@@ -142,14 +143,20 @@ def _occ_corner_slices(occ3d, g):
 
 
 @partial(jax.jit, static_argnames=("grid", "vert_cap", "face_cap"))
-def marching_tets_structured(grid: StructuredTetGrid, ga, sdf, deform=None,
-                             vert_cap=65536, face_cap=131072):
-    """Isosurface of `sdf` (positive inside) on the structured grid into
-    static-capacity buffers. Same output contract as
-    `marching_tets_compact`: verts (vert_cap, 3), vert_mask, faces
-    (face_cap, 3), face_mask, n_verts, n_faces.
+def marching_tets_topology(grid: StructuredTetGrid, ga, sdf,
+                           vert_cap=65536, face_cap=131072):
+    """Integer-only half of the extraction, from the SIGN of `sdf`:
+    crossing-edge endpoint ids and the face tables. Non-differentiable by
+    construction — pair with `marching_tets_verts` (the sdf/deform-
+    differentiable lerp) to split topology from geometry. A fit program
+    can then freeze the topology across its inner steps and pay the
+    14.8M-edge cumsum / searchsorted / triangle-table machinery once per
+    program instead of per step (the reference re-runs its `torch.unique`
+    edge build every step, `base_mesh_renderer.py:140-188`, where it is
+    cheap; on TPU it is ~200 of the ~1290 ms fit step — PERF.md r4).
 
-    sdf: ((g+1)^3,) at lattice verts; deform: optional ((g+1)^3, 3).
+    Returns {id_a, id_b (vert_cap,) lattice-vertex ids, vert_mask,
+    faces (face_cap, 3), face_mask, n_verts, n_faces}.
     """
     g = grid.resolution
     V1 = g + 1
@@ -216,22 +223,6 @@ def marching_tets_structured(grid: StructuredTetGrid, ga, sdf, deform=None,
 
     id_a = vflat(ax, ay, az)
     id_b = vflat(bx, by, bz)
-    s_a = sdf[id_a]
-    s_b = sdf[id_b]
-    denom = s_a - s_b
-    denom = jnp.where(jnp.abs(denom) < 1e-10,
-                      jnp.where(denom >= 0, 1e-10, -1e-10), denom)
-    w_a = jnp.clip(-s_b / denom, 0.0, 1.0)                # (cap,)
-    scale = 2.0 / g
-    # channel-first (3, cap): trailing-3 temporaries tile-pad 42x on TPU
-    pos_a = jnp.stack([ax, ay, az]).astype(sdf.dtype) * scale - 1.0
-    pos_b = jnp.stack([bx, by, bz]).astype(sdf.dtype) * scale - 1.0
-    if deform is not None:
-        dt = deform.T                                     # (3, V)
-        pos_a = pos_a + dt[:, id_a]
-        pos_b = pos_b + dt[:, id_b]
-    verts_ct = pos_a * w_a[None] + pos_b * (1.0 - w_a)[None]
-    verts_ct = jnp.where(slot_valid[None], verts_ct, 0.0)
 
     # ---- faces: per-pattern tet indices from corner slices -------------
     oc = _occ_corner_slices(occ3d.astype(jnp.int32), g)   # 8 x (g,g,g)
@@ -291,8 +282,66 @@ def marching_tets_structured(grid: StructuredTetGrid, ga, sdf, deform=None,
                           jnp.where(face_ok, v1, 0),
                           jnp.where(face_ok, v2, 0)])     # (3, face_cap)
 
-    return {"verts": verts_ct.T,
+    return {"id_a": id_a.astype(jnp.int32),
+            "id_b": id_b.astype(jnp.int32),
             "vert_mask": slot_valid,
             "faces": faces_ct.T,
             "face_mask": face_ok,
             "n_verts": n_verts, "n_faces": n_faces}
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def marching_tets_verts(grid: StructuredTetGrid, topo, sdf, deform=None):
+    """Differentiable half of the extraction: crossing-vertex positions by
+    sdf-lerp along the (frozen) edges in `topo`. Gathers only at cap
+    scale; gradients flow to sdf (via the lerp weight) and deform exactly
+    as in the fused path. Clipping keeps verts on their edge if a sign
+    flips after the topology snapshot."""
+    g = grid.resolution
+    V1 = g + 1
+    id_a, id_b = topo["id_a"], topo["id_b"]
+    s_a = sdf[id_a]
+    s_b = sdf[id_b]
+    denom = s_a - s_b
+    denom = jnp.where(jnp.abs(denom) < 1e-10,
+                      jnp.where(denom >= 0, 1e-10, -1e-10), denom)
+    w_a = jnp.clip(-s_b / denom, 0.0, 1.0)                # (cap,)
+    scale = 2.0 / g
+
+    def unflat(i):
+        # id = (x*V1 + y)*V1 + z — invert to lattice coords
+        return jnp.stack([i // (V1 * V1), (i // V1) % V1, i % V1])
+
+    # channel-first (3, cap): trailing-3 temporaries tile-pad 42x on TPU
+    pos_a = unflat(id_a).astype(sdf.dtype) * scale - 1.0
+    pos_b = unflat(id_b).astype(sdf.dtype) * scale - 1.0
+    if deform is not None:
+        dt = deform.T                                     # (3, V)
+        pos_a = pos_a + dt[:, id_a]
+        pos_b = pos_b + dt[:, id_b]
+    verts_ct = pos_a * w_a[None] + pos_b * (1.0 - w_a)[None]
+    verts_ct = jnp.where(topo["vert_mask"][None], verts_ct, 0.0)
+    return verts_ct.T
+
+
+@partial(jax.jit, static_argnames=("grid", "vert_cap", "face_cap"))
+def marching_tets_structured(grid: StructuredTetGrid, ga, sdf, deform=None,
+                             vert_cap=65536, face_cap=131072):
+    """Isosurface of `sdf` (positive inside) on the structured grid into
+    static-capacity buffers. Same output contract as
+    `marching_tets_compact`: verts (vert_cap, 3), vert_mask, faces
+    (face_cap, 3), face_mask, n_verts, n_faces.
+
+    sdf: ((g+1)^3,) at lattice verts; deform: optional ((g+1)^3, 3).
+    Composition of `marching_tets_topology` + `marching_tets_verts`
+    (inlined into one program under jit; the split exists so fit programs
+    can refresh topology less often than geometry).
+    """
+    topo = marching_tets_topology(grid, ga, sdf, vert_cap=vert_cap,
+                                  face_cap=face_cap)
+    verts = marching_tets_verts(grid, topo, sdf, deform=deform)
+    return {"verts": verts,
+            "vert_mask": topo["vert_mask"],
+            "faces": topo["faces"],
+            "face_mask": topo["face_mask"],
+            "n_verts": topo["n_verts"], "n_faces": topo["n_faces"]}

@@ -62,6 +62,13 @@ class MeshFitConfig:
     # generous for typical objects.
     vert_cap: int = 0
     face_cap: int = 0
+    # freeze the marching-tets TOPOLOGY (crossing-edge set + face tables)
+    # at the start of each fit program and re-lerp only the vertex
+    # positions per inner step (structured grids only). Step 0 is exactly
+    # the per-step path; later steps see topology at most n_steps-1
+    # updates stale, refreshed every program (the pipeline chains <= 8-
+    # step programs). Saves the ~200 ms/step integer extraction half.
+    freeze_topology: bool = False
 
 
 def default_mesh_schedule_weights(cfg: "MeshFitConfig"):
@@ -162,7 +169,9 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     cam_lights as in nerf_fit.
     """
     from .mesh.structured_tets import (StructuredTetGrid,
-                                       marching_tets_structured)
+                                       marching_tets_structured,
+                                       marching_tets_topology,
+                                       marching_tets_verts)
     tm = Tonemapping()
     optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
     structured = isinstance(grid, StructuredTetGrid)
@@ -192,8 +201,27 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     def extract(state, ga=None):
         return _extract_jit(state, ga if ga is not None else grid_arrays)
 
-    def loss_fn(state, batch, key, ga, sw, lpips_params):
-        mt = extract(state, ga)
+    freeze_topo = cfg.freeze_topology and structured
+    if cfg.freeze_topology and not structured:
+        raise ValueError("freeze_topology requires a StructuredTetGrid")
+
+    def _deform(state):
+        return jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
+
+    def _topo_caps():
+        g = grid.resolution
+        vc = cfg.vert_cap or (1 << max(9, (16 * g * g - 1).bit_length()))
+        return vc, cfg.face_cap or vc + (vc >> 1)
+
+    def loss_fn(state, batch, key, ga, sw, lpips_params, topo=None):
+        if topo is not None:
+            # frozen topology: only the vertex lerp is recomputed (and
+            # differentiated) this step
+            mt = dict(topo)
+            mt["verts"] = marching_tets_verts(grid, topo, state["sdf"],
+                                              deform=_deform(state))
+        else:
+            mt = extract(state, ga)
         # regularizers on a face subsample: full-buffer scatter temporaries
         # at DMTet scale tile-pad badly on TPU
         if cfg.reg_face_samples and cfg.reg_face_samples < mt["faces"].shape[0]:
@@ -309,6 +337,13 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         # tet topology arrives as TRACED args (ga): baking the >100MB numpy
         # topology in as constants overflows the compiler request payload
         sw = default_mesh_schedule_weights(cfg) if sched is None else sched
+        topo = None
+        if freeze_topo:
+            vc, fc = _topo_caps()
+            topo = marching_tets_topology(grid, ga, state["sdf"],
+                                          vert_cap=vc, face_cap=fc)
+            # stop_gradient is structural (all-integer), kept as intent
+            topo = jax.lax.stop_gradient(topo)
 
         def step(carry, k):
             state, opt_state = carry
@@ -316,7 +351,7 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
             batch = sample_batch(k1, targets)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state, batch, k2, ga, sw,
-                                       lpips_params)
+                                       lpips_params, topo=topo)
             updates, opt_state = optimizer.update(grads, opt_state, state)
             # per-subtree lr: field at lr, sdf/deform at lr * sdf_lr_scale
             # (* lr multiplier near the end, mvedit_3d_pipeline.py:688-689)

@@ -138,6 +138,17 @@ class MVEdit3DConfig:
     # closed-form structured grid (8x faster extraction at tet 128); the
     # table-driven build_grid_tets path remains for irregular grids
     structured_tets: bool = True
+    # snapshot the marching-tets topology once per <=8-step fit program
+    # and re-lerp only vertex positions per inner step (structured grids
+    # only; step 0 of each program is exact, later steps' face tables are
+    # at most 7 sdf-updates stale)
+    freeze_mesh_topology: bool = True
+    # render_all dispatches this many views per program: ONE compiled
+    # renderer per (mode, render size) reused across every view-pruning
+    # bucket (N-jitted whole-bucket renders recompiled ~65 s per
+    # (bucket, rs) pair). 2 bounds the dup-view padding waste at one
+    # view; ~27 ms tunnel dispatch per chunk.
+    render_view_chunk: int = 2
     patch_size: int = 128
     patch_bs: int = 1
     # largest image-space batch run as ONE program (the reference's
@@ -446,7 +457,9 @@ class MVEdit3DPipeline:
                     normal_consistency_weight=0.25 * cfg.mesh_smoothness,
                     patch_size=min(cfg.patch_size, cfg.render_size),
                     vert_cap=vert_cap,
-                    face_cap=vert_cap + (vert_cap >> 1))
+                    face_cap=vert_cap + (vert_cap >> 1),
+                    freeze_topology=(cfg.freeze_mesh_topology
+                                     and cfg.structured_tets))
                 self._fit_cache[key] = MF.make_mesh_fit(
                     tet_grid, self._color_fn, mcfg)
             return self._fit_cache[key]
@@ -942,17 +955,48 @@ class MVEdit3DPipeline:
     # ---------------- helpers -------------------------------------------
 
     def _render_all(self, nerf_params, mesh_state, last_mt, grid, tgt, rs):
+        """Render all bucket views in fixed-size view chunks.
+
+        The view-pruning buckets give render_all a DIFFERENT N per bucket;
+        jitting the whole bucket as one program recompiles the renderer at
+        every (bucket, rs) pair — measured ~65 s per NeRF-renderer compile,
+        which contaminated even the e2e record's per-call "steady" median
+        (37 s/call recorded vs 8.8 s true steady at 16x512^2,
+        prof_render_all.py). Chunking to `cfg.render_view_chunk` views per
+        dispatch makes exactly ONE compiled render program per (mode, rs),
+        reused by every bucket; N is padded up to a chunk multiple with
+        duplicate views (<= chunk-1 wasted view renders) and the tunnel
+        dispatch overhead is ~27 ms per chunk.
+        """
         cfg = self.cfg
         N = tgt["poses"].shape[0]
+        poses = tgt["poses"]
         intr = tgt["intrinsics"] * (rs / cfg.render_size)
+        cv = min(cfg.render_view_chunk or N, N)
+        n_pad = (-N) % cv
+        if n_pad:
+            ids = jnp.concatenate(
+                [jnp.arange(N), jnp.zeros((n_pad,), jnp.int32)])
+            poses, intr = poses[ids], intr[ids]
+        outs = [self._render_chunk(nerf_params, mesh_state, last_mt, grid,
+                                   poses[j:j + cv], intr[j:j + cv], rs)
+                for j in range(0, N + n_pad, cv)]
+        if len(outs) == 1 and not n_pad:
+            return outs[0]
+        return {k: jnp.concatenate([o[k] for o in outs], axis=0)[:N]
+                for k in outs[0]}
+
+    def _render_chunk(self, nerf_params, mesh_state, last_mt, grid,
+                      poses, intr, rs):
+        cfg = self.cfg
         if mesh_state is None:
-            # all N views in ONE program (lax.map over views — single-view
+            # chunk views in ONE program (lax.map over views — single-view
             # working set, single host dispatch; the tunneled device pays
             # ~27 ms per dispatch, so per-view Python loops cost ~N x 27 ms
             # of pure overhead every timestep)
             render = NF.make_multiview_renderer(
                 self._decode_fn, rs, rs, cfg.render, chunk=rs * 128)
-            out = render(nerf_params, tgt["poses"], intr, grid)
+            out = render(nerf_params, poses, intr, grid)
             return {"rgb": out["rgb"], "depth": out["depth"],
                     "alpha": out["alpha"][..., None]}
         mt = last_mt
@@ -966,7 +1010,7 @@ class MVEdit3DPipeline:
         # them in as per-program constants (HBM duplicates) and reused
         # stale values on jit cache hits.
         out = render_views(mt["verts"], mt["faces"], mt["face_mask"],
-                           tgt["poses"], intr, rc,
+                           poses, intr, rc,
                            shading_fun=shading_fun,
                            shading_params=mesh_state["field"],
                            sequential=True)

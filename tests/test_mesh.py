@@ -681,6 +681,88 @@ def test_mesh_fit_structured_grid_converges():
     assert int(mt2["n_faces"]) > 0
 
 
+def test_mesh_fit_frozen_topology_matches_per_step():
+    """freeze_topology=True: a 1-step program is EXACTLY the per-step
+    path (topology snapshot comes from the same sdf the step extracts
+    from), and a multi-step frozen program stays finite and converges.
+    Also pins the topology/verts split against the fused extraction."""
+    from mvedit_tpu.models import mesh_fit as MF
+    from mvedit_tpu.models.mesh.rasterize import RasterConfig
+    from mvedit_tpu.models.mesh.structured_tets import (
+        StructuredTetGrid, marching_tets_structured, marching_tets_topology,
+        marching_tets_verts)
+    from mvedit_tpu.models.fields import (INGPConfig, ingp_init,
+                                          ingp_point_decode)
+    from mvedit_tpu.ops.hash_grid import HashGridConfig
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    g = 12
+    grid = StructuredTetGrid(g)
+    v = np.asarray(grid.verts)
+    key = jax.random.PRNGKey(3)
+    sdf = jnp.asarray(0.6 - np.linalg.norm(v, axis=-1), jnp.float32)
+    deform = 0.1 * jax.random.normal(key, v.shape) / g
+
+    # split == fused, bitwise
+    fused = marching_tets_structured(grid, grid.arrays(), sdf,
+                                     deform=deform, vert_cap=1024,
+                                     face_cap=2048)
+    topo = marching_tets_topology(grid, grid.arrays(), sdf,
+                                  vert_cap=1024, face_cap=2048)
+    verts = marching_tets_verts(grid, topo, sdf, deform=deform)
+    np.testing.assert_array_equal(np.asarray(fused["verts"]),
+                                  np.asarray(verts))
+    np.testing.assert_array_equal(np.asarray(fused["faces"]),
+                                  np.asarray(topo["faces"]))
+    np.testing.assert_array_equal(np.asarray(fused["face_mask"]),
+                                  np.asarray(topo["face_mask"]))
+
+    icfg = INGPConfig(hash=HashGridConfig(n_levels=2, base_resolution=4,
+                                          max_resolution=8,
+                                          log2_hashmap_size=8),
+                      hidden_dim=8)
+    field = ingp_init(jax.random.PRNGKey(0), icfg)
+    color_fn = lambda p, x: ingp_point_decode(p, x, icfg)[1]  # noqa: E731
+    kw = dict(raster=RasterConfig(height=24, width=24, k_per_tile=64,
+                                  k_big=32),
+              render_bs=2, reg_face_samples=256,
+              vert_cap=1024, face_cap=2048, patch_size=24)
+    rng = np.random.default_rng(0)
+    poses, intr = surround_rig(2, 2.5, 40, 0.0, 0.3, 24, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {"images": jnp.full((2, 24, 24, 3), 0.5),
+               "masks": jnp.ones((2, 24, 24, 1)),
+               "poses": jnp.asarray(poses),
+               "intrinsics": jnp.asarray(intr),
+               "cam_weights": jnp.ones((2,)),
+               "cam_lights": jnp.asarray(lights)}
+
+    def run(freeze, n_steps):
+        cfg = MF.MeshFitConfig(n_steps=n_steps, freeze_topology=freeze,
+                               **kw)
+        fit, opt, _ = MF.make_mesh_fit(grid, color_fn, cfg)
+        state = {"field": jax.tree_util.tree_map(jnp.copy, field),
+                 "sdf": jnp.copy(sdf),
+                 "deform": jnp.zeros((len(v), 3), jnp.float32)}
+        return fit(state, opt.init(state), targets, jax.random.PRNGKey(1))
+
+    s_a, _, out_a = run(False, 1)
+    s_b, _, out_b = run(True, 1)
+    np.testing.assert_allclose(np.asarray(out_a["loss"]),
+                               np.asarray(out_b["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_a["sdf"]),
+                               np.asarray(s_b["sdf"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_a["deform"]),
+                               np.asarray(s_b["deform"]), atol=1e-6)
+
+    s_m, _, out_m = run(True, 4)
+    assert np.isfinite(np.asarray(out_m["loss"])).all()
+    assert np.isfinite(np.asarray(s_m["sdf"])).all()
+    assert float(jnp.max(jnp.abs(s_m["sdf"] - sdf))) > 0
+    assert int(out_m["mt"]["n_faces"]) > 0
+
+
 def test_rasterize_empty_mesh_finite():
     """A frame where NOTHING covers a pixel must produce FINITE outputs:
     the degenerate dummy winner's perspective-correct bary denominator is

@@ -245,6 +245,55 @@ def test_mvedit3d_view_pruning_and_schedules(tmp_path, diff_bs):
     assert not NF._RENDERER_CACHE
 
 
+def test_render_all_view_chunking_matches_whole_batch():
+    """render_view_chunk splits render_all into fixed-size per-chunk
+    programs (ONE compiled renderer per (mode, rs) across all view-pruning
+    buckets). Chunked output must equal the whole-batch render exactly in
+    BOTH modes, including a ragged N (padded with dup views, sliced)."""
+    from mvedit_tpu.pipelines import MVEdit3DConfig, MVEdit3DPipeline
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.models.fields import ingp_init
+    from mvedit_tpu.models.volume_renderer import RenderConfig
+    from mvedit_tpu.models.mesh.structured_tets import (
+        StructuredTetGrid, marching_tets_structured)
+
+    key = jax.random.PRNGKey(0)
+    m = _make_models(key, hint_strides=1)
+    N, size = 5, 16                        # ragged: 5 views, chunk 2
+    cfg = MVEdit3DConfig(num_views=N, render_size=size, latent_size=8,
+                         patch_size=8, ingp=TINY_INGP, tet_resolution=8,
+                         render=RenderConfig(num_samples=8, grid_size=8),
+                         render_view_chunk=2)
+    pipe = MVEdit3DPipeline(m, cfg)
+    cfg_whole = MVEdit3DConfig(**{**cfg.__dict__, "render_view_chunk": 0})
+    pipe_whole = MVEdit3DPipeline(m, cfg_whole)
+
+    rng = np.random.default_rng(0)
+    poses, intr = surround_rig(N, 2.5, 40, 0.0, 0.3, size, rng=rng)
+    tgt = {"poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr)}
+    field = ingp_init(jax.random.PRNGKey(1), cfg.ingp)
+
+    # nerf mode (multiview volume renderer)
+    a = pipe._render_all(field, None, None, None, tgt, size)
+    b = pipe_whole._render_all(field, None, None, None, tgt, size)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-6, err_msg=f"nerf {k}")
+
+    # mesh mode (raster + field shading)
+    grid = StructuredTetGrid(8)
+    v = np.asarray(grid.verts)
+    sdf = jnp.asarray(0.6 - np.linalg.norm(v, axis=-1), jnp.float32)
+    mt = marching_tets_structured(grid, grid.arrays(), sdf,
+                                  vert_cap=512, face_cap=1024)
+    ms = {"field": field}
+    a = pipe._render_all(field, ms, mt, None, tgt, size)
+    b = pipe_whole._render_all(field, ms, mt, None, tgt, size)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-6, err_msg=f"mesh {k}")
+
+
 def test_chunked_denoise_matches_whole_batch():
     """diff_bs view chunking (the reference's --diff-bs, app.py:36) is
     EXACT in use_reference mode: per-chunk p1/p2/1-pass must reproduce the
