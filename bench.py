@@ -32,17 +32,51 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 A100_E2E_MODELED_S = 168.0
 
 
-def _timeit(fn, *args, n=10):
-    # NOTE: block_until_ready does not synchronize through the axon tunnel;
-    # a scalar readback is the only honest timing barrier here.
+def _timeit(fn, *args, n=10, retries=3):
+    """Time fn with a scalar-readback barrier, retrying transient tunnel
+    failures.
+
+    NOTE: block_until_ready does not synchronize through the axon tunnel;
+    a scalar readback is the only honest timing barrier here. The tunnel
+    occasionally drops a request mid-read (`remote_compile: read body
+    closed` — this exact failure nulled the round-4 driver record), so
+    every measurement retries with backoff instead of taking the whole
+    bench down. Raises only after `retries` consecutive failures; callers
+    additionally guard each section (see _section) so one dead measurement
+    still leaves a JSON line with the other fields populated.
+    """
     def run():
         out = fn(*args)
         float(jnp.sum(out[0] if isinstance(out, tuple) else out))
-    run()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        run()
-    return (time.perf_counter() - t0) / n
+
+    last = None
+    for attempt in range(retries):
+        try:
+            run()  # warmup (compile/cache-load) — also absorbs retries
+            t0 = time.perf_counter()
+            for _ in range(n):
+                run()
+            return (time.perf_counter() - t0) / n
+        except Exception as e:  # transient tunnel/runtime error: back off
+            last = e
+            import sys
+            print(f"bench: measurement failed (attempt {attempt + 1}/"
+                  f"{retries}): {e}", file=sys.stderr)
+            time.sleep(2.0 * (attempt + 1))
+    raise last
+
+
+def _section(rec, errors, name, fn):
+    """Run one measurement section; on failure record null + the error
+    instead of crashing the bench (the round's only driver artifact)."""
+    try:
+        fn()
+    except Exception as e:
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        errors[name] = f"{type(e).__name__}: {e}"
+        rec.setdefault("errors", errors)
 
 
 def _bf16(tree):
@@ -52,6 +86,73 @@ def _bf16(tree):
 
 
 def main():
+    # rec is built up section by section; every section is crash-guarded
+    # (_section) and the JSON line prints no matter what — a null field
+    # plus rec["errors"] beats the rc=1 that nulled round 4's record.
+    rec = {
+        "metric": "6-view UNet CFG denoise steps/sec (512^2, joint attn)",
+        "value": None,
+        "unit": "steps/s",
+        "vs_baseline": None,
+    }
+    errors = {}
+    try:
+        _main_measurements(rec, errors)
+    except Exception as e:
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        errors["setup"] = f"{type(e).__name__}: {e}"
+        rec["errors"] = errors
+    _attach_e2e_records(rec)
+    print(json.dumps(rec))
+
+
+def _attach_e2e_records(rec):
+    """Carry the last recorded end-to-end runs (bench.py --e2e[,
+    --superres], real full-scale pipeline with phase breakdown) alongside
+    the headline, plus the derived A100 ratio and the modeled 8-chip
+    projection."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    e2e_path = os.path.join(here, "E2E_RECORD.json")
+    if os.path.exists(e2e_path):
+        with open(e2e_path) as fh:
+            e2e = json.load(fh)
+        rec["e2e_s"] = e2e.get("value")
+        rec["e2e_phases_s"] = e2e.get("phases_s")
+        rec["e2e_unit_costs_s"] = e2e.get("unit_costs_s")
+        rec["e2e_unit_costs_steady_s"] = e2e.get("unit_costs_steady_s")
+        rec["e2e_production_schedule_modeled_s"] = e2e.get(
+            "e2e_production_schedule_modeled_s")
+        rec["e2e_production_schedule_modeled_steady_s"] = e2e.get(
+            "e2e_production_schedule_modeled_steady_s")
+        rec["e2e_reduced_schedule"] = e2e.get("reduced_schedule")
+        # derived A100 anchor (BASELINE.md "Derived A100 end-to-end
+        # anchor", MODELED): speedup ratio vs the modeled A100 run of the
+        # same production schedule; >= 3.0 on v5e-8 is the north star
+        steady = rec.get("e2e_production_schedule_modeled_steady_s")
+        if steady:
+            rec["e2e_vs_a100_modeled"] = round(
+                A100_E2E_MODELED_S / steady, 4)
+        # modeled 8-chip projection (written by --e2e when the sharded
+        # phase units are known): the v5e-8 figure the 3x target is
+        # scored against
+        for k in ("e2e_production_modeled_8chip_s",
+                  "e2e_vs_a100_modeled_8chip"):
+            if e2e.get(k) is not None:
+                rec[k] = e2e[k]
+    sr_path = os.path.join(here, "E2E_SR_RECORD.json")
+    if os.path.exists(sr_path):
+        with open(sr_path) as fh:
+            sr = json.load(fh)
+        rec["superres_production_modeled_s"] = sr.get(
+            "superres_production_modeled_s")
+        rec["superres_production_modeled_steady_s"] = sr.get(
+            "superres_production_modeled_steady_s")
+
+
+def _main_measurements(rec, errors):
     from mvedit_tpu.models.diffusion import (UNet2DCondition, SD15_UNET,
                                              AutoencoderKL, SD_VAE,
                                              ControlNet, AttnMode)
@@ -79,10 +180,15 @@ def main():
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + 7.5 * (eps_c - eps_u)
 
-    dt = _timeit(denoise_step, params, x, t, ctx)
     # BENCH_r01.json recorded 3.3246 steps/s on this exact metric; report
     # the ratio so the driver's record is self-describing across rounds.
     R1_STEPS_PER_S = 3.3246
+
+    def _headline():
+        dt = _timeit(denoise_step, params, x, t, ctx)
+        rec["value"] = round(1.0 / dt, 4)
+        rec["vs_baseline"] = round(1.0 / dt / R1_STEPS_PER_S, 4)
+    _section(rec, errors, "headline", _headline)
 
     # ---- production-default conditioning: reference pairs --------------
     # (DenoiseModels.use_reference, the reference's get_noise_pred
@@ -98,8 +204,12 @@ def main():
         return eps_u + 7.5 * (eps_c - eps_u)
 
     lat6b = jax.random.normal(jax.random.PRNGKey(43), (6, 64, 64, 4))
-    dt_rp = _timeit(denoise_step_refpair, params, lat6b, lat6b, t[:6],
-                    ctx[:6])
+
+    def _refpair():
+        dt_rp = _timeit(denoise_step_refpair, params, lat6b, lat6b, t[:6],
+                        ctx[:6])
+        rec["refpair_denoise_steps_per_s"] = round(1.0 / dt_rp, 4)
+    _section(rec, errors, "refpair", _refpair)
 
     # ---- full 2-pass pipeline timestep (denoise side) ------------------
     from mvedit_tpu.pipelines.denoise import (DenoiseModels,
@@ -143,7 +253,12 @@ def main():
         return eps2 + 0.1 * lat3d
 
     lat6 = jax.random.normal(jax.random.PRNGKey(46), (6, 64, 64, 4))
-    dt_full = _timeit(full_step, lat6, n=5)
+
+    def _full():
+        dt_full = _timeit(full_step, lat6, n=5)
+        rec["full_pipeline_denoise_step_s"] = round(dt_full, 4)
+        rec["full_pipeline_denoise_steps_per_s"] = round(1.0 / dt_full, 4)
+    _section(rec, errors, "full_pipeline", _full)
 
     # amortized device throughput of the headline step: K chained steps
     # inside ONE jit (lax.fori_loop), so the ~27 ms/roundtrip tunnel
@@ -160,48 +275,12 @@ def main():
             return jnp.concatenate([g, g], 0) * 0.999
         return jax.lax.fori_loop(0, K_AMORT, body, lat)
 
-    dt_amort = _timeit(denoise_chain, params, x, t, ctx, n=3) / K_AMORT
-
-    rec = {
-        "metric": "6-view UNet CFG denoise steps/sec (512^2, joint attn)",
-        "value": round(1.0 / dt, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(1.0 / dt / R1_STEPS_PER_S, 4),
-        # production default (use_reference): uncond per-view + cond
-        # [ref, target] pairs — the conditioning the pipelines run
-        "refpair_denoise_steps_per_s": round(1.0 / dt_rp, 4),
-        # full p1+VAE+ControlNets+p2 pipeline timestep (refpair mode)
-        "full_pipeline_denoise_step_s": round(dt_full, 4),
-        "full_pipeline_denoise_steps_per_s": round(1.0 / dt_full, 4),
+    def _amort():
         # headline step amortized inside one jit (no per-step tunnel
         # dispatch overhead): the device's true steady-state throughput
-        "denoise_steps_per_s_amortized": round(1.0 / dt_amort, 4),
-    }
-    # carry the last recorded end-to-end run (bench.py --e2e, real
-    # full-scale pipeline with phase breakdown) alongside the headline
-    import os
-    e2e_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "E2E_RECORD.json")
-    if os.path.exists(e2e_path):
-        with open(e2e_path) as fh:
-            e2e = json.load(fh)
-        rec["e2e_s"] = e2e.get("value")
-        rec["e2e_phases_s"] = e2e.get("phases_s")
-        rec["e2e_unit_costs_s"] = e2e.get("unit_costs_s")
-        rec["e2e_unit_costs_steady_s"] = e2e.get("unit_costs_steady_s")
-        rec["e2e_production_schedule_modeled_s"] = e2e.get(
-            "e2e_production_schedule_modeled_s")
-        rec["e2e_production_schedule_modeled_steady_s"] = e2e.get(
-            "e2e_production_schedule_modeled_steady_s")
-        rec["e2e_reduced_schedule"] = e2e.get("reduced_schedule")
-        # derived A100 anchor (BASELINE.md "Derived A100 end-to-end
-        # anchor", MODELED): speedup ratio vs the modeled A100 run of the
-        # same production schedule; >= 3.0 on v5e-8 is the north star
-        steady = rec.get("e2e_production_schedule_modeled_steady_s")
-        if steady:
-            rec["e2e_vs_a100_modeled"] = round(
-                A100_E2E_MODELED_S / steady, 4)
-    print(json.dumps(rec))
+        dt_amort = _timeit(denoise_chain, params, x, t, ctx, n=3) / K_AMORT
+        rec["denoise_steps_per_s_amortized"] = round(1.0 / dt_amort, 4)
+    _section(rec, errors, "amortized", _amort)
 
 
 def main_sharded():
@@ -276,16 +355,33 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
     pt = PhaseTimer()
     set_phase_timer(pt)
     t0 = time.perf_counter()
-    out = runner.run_3d_to_3d(
-        src, "a colorful sphere", seed=1, steps=steps,
-        num_views=num_views, n_inverse_steps=n_inverse_steps,
-        init_inverse_steps=init_inverse_steps,
-        tet_init_inverse_steps=tet_init_inverse_steps,
-        estimate_pose=False,
-        # chained texture superres (part of every reference product path,
-        # adapter3d.py:848-857): reduced diffusion steps, but the 512-step
-        # texture fit and 2048^2 bake run at production scale
-        superres={"steps": 6} if superres else False)
+    err = None
+    out = {}
+    # retry once on a transient tunnel failure (the pipeline's jit
+    # programs are all persistent-cached, so a retry resumes fast); if the
+    # retry also dies, record the partial phase table + error instead of
+    # exiting rc=1
+    for attempt in range(2):
+        try:
+            out = runner.run_3d_to_3d(
+                src, "a colorful sphere", seed=1, steps=steps,
+                num_views=num_views, n_inverse_steps=n_inverse_steps,
+                init_inverse_steps=init_inverse_steps,
+                tet_init_inverse_steps=tet_init_inverse_steps,
+                estimate_pose=False,
+                # chained texture superres (part of every reference
+                # product path, adapter3d.py:848-857): reduced diffusion
+                # steps, but the 512-step texture fit and 2048^2 bake run
+                # at production scale
+                superres={"steps": 6} if superres else False)
+            err = None
+            break
+        except Exception as e:
+            import sys
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            err = f"{type(e).__name__}: {e}"
+            time.sleep(5.0)
     wall = time.perf_counter() - t0
     set_phase_timer(None)
     phases = pt.report()
@@ -370,9 +466,11 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
         # speedup vs the modeled A100 anchor (BASELINE.md; >=3.0 on v5e-8
         # is the north star; single-chip reads below 1)
         "e2e_vs_a100_modeled": round(A100_E2E_MODELED_S / e2e_model_steady,
-                                     4),
+                                     4) if e2e_model_steady else None,
         "mesh_ok": out.get("mesh") is not None,
     }
+    if err is not None:
+        rec["error"] = err
     if superres:
         # superres phase record + production model: ~10 effective denoise
         # steps (24 x strength 0.4); the tex fit (512 steps) and 2048^2
@@ -415,9 +513,21 @@ if __name__ == "__main__":
         run = lambda: main_e2e(superres=args.superres)  # noqa: E731
     else:
         run = main_sharded if args.sharded else main
-    if args.profile:
-        from mvedit_tpu.utils.profiling import trace
-        with trace(args.profile):
+    try:
+        if args.profile:
+            from mvedit_tpu.utils.profiling import trace
+            with trace(args.profile):
+                run()
+        else:
             run()
-    else:
-        run()
+    except Exception as e:  # last-resort guard: NEVER exit rc=1 without
+        # a JSON line — round 4's official record was nulled by exactly
+        # that (one tunnel read died and nothing caught it)
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "6-view UNet CFG denoise steps/sec "
+                      "(512^2, joint attn)",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+            "errors": {"fatal": f"{type(e).__name__}: {e}"}}))

@@ -153,7 +153,10 @@ def marching_tets_topology(grid: StructuredTetGrid, ga, sdf,
     14.8M-edge cumsum / searchsorted / triangle-table machinery once per
     program instead of per step (the reference re-runs its `torch.unique`
     edge build every step, `base_mesh_renderer.py:140-188`, where it is
-    cheap; on TPU it is ~200 of the ~1290 ms fit step — PERF.md r4).
+    cheap; on TPU the full extract fwd measures 219 ms of the ~1290 ms
+    fit step, of which ~130 ms is this topology half — grad-only path 88
+    ms once the face tables are DCE'd: PERF.md r4 table, row "extract
+    fwd", from benchmarks/prof_mesh_fit.py / prof_extract_bwd.py).
 
     Returns {id_a, id_b (vert_cap,) lattice-vertex ids, vert_mask,
     faces (face_cap, 3), face_mask, n_verts, n_faces}.

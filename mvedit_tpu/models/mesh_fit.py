@@ -179,6 +179,14 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
             else 2.0 / max(round((len(grid.verts)) ** (1 / 3)) - 1, 1))
     grid_arrays = grid.arrays()
 
+    def _caps():
+        # ONE cap formula for both the fused extract and the frozen-
+        # topology path: if they diverged, frozen-path buffer shapes would
+        # silently mismatch the final extract's (recompile or shape error)
+        g = grid.resolution
+        vc = cfg.vert_cap or (1 << max(9, (16 * g * g - 1).bit_length()))
+        return vc, cfg.face_cap or vc + (vc >> 1)
+
     @jax.jit
     def _extract_jit(state, ga):
         # jitted: eager marching_tets materializes poorly-tiled (N,3)
@@ -187,11 +195,10 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         if structured:
             # closed-form topology: 8x faster extraction at tet 128
             # (225 vs 1798 ms, benchmarks/prof_extract_bwd.py)
-            g = grid.resolution
-            vc = cfg.vert_cap or (1 << max(9, (16 * g * g - 1).bit_length()))
+            vc, fc = _caps()
             return marching_tets_structured(
                 grid, ga, state["sdf"], deform=deform, vert_cap=vc,
-                face_cap=cfg.face_cap or vc + (vc >> 1))
+                face_cap=fc)
         if cfg.vert_cap:
             return marching_tets_compact(
                 ga, state["sdf"], deform=deform, vert_cap=cfg.vert_cap,
@@ -207,11 +214,6 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
 
     def _deform(state):
         return jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
-
-    def _topo_caps():
-        g = grid.resolution
-        vc = cfg.vert_cap or (1 << max(9, (16 * g * g - 1).bit_length()))
-        return vc, cfg.face_cap or vc + (vc >> 1)
 
     def loss_fn(state, batch, key, ga, sw, lpips_params, topo=None):
         if topo is not None:
@@ -339,7 +341,7 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         sw = default_mesh_schedule_weights(cfg) if sched is None else sched
         topo = None
         if freeze_topo:
-            vc, fc = _topo_caps()
+            vc, fc = _caps()
             topo = marching_tets_topology(grid, ga, state["sdf"],
                                           vert_cap=vc, face_cap=fc)
             # stop_gradient is structural (all-integer), kept as intent

@@ -323,7 +323,9 @@ def test_kitti_preproc_cli(tmp_path):
                     ).save(base / "image_2" / "000000.png")
     seg = np.zeros((128, 256), np.int32)
     seg[40:90, 100:180] = 1000
-    Image.fromarray(seg, mode="I").save(base / "instance_2" / "000000.png")
+    # no mode= kwarg: Image.fromarray infers "I" from int32, and the
+    # explicit parameter is deprecated (removal in Pillow 13, 2026-10)
+    Image.fromarray(seg).save(base / "instance_2" / "000000.png")
     (base / "label_2" / "000000.txt").write_text(
         "Car 0 0 0.0 100 40 180 90 1.5 1.7 4.0 2.0 1.6 15.0 0.3\n")
     P = np.array([[700, 0, 128, 40], [0, 700, 64, 1],

@@ -704,7 +704,11 @@ def test_mesh_fit_frozen_topology_matches_per_step():
     sdf = jnp.asarray(0.6 - np.linalg.norm(v, axis=-1), jnp.float32)
     deform = 0.1 * jax.random.normal(key, v.shape) / g
 
-    # split == fused, bitwise
+    # split == fused, bitwise. NOTE: marching_tets_structured is today
+    # IMPLEMENTED as the topology+verts composition, so this pin is a
+    # guard against future divergence of the two paths (e.g. a fused
+    # fast path), not an independent derivation — old-behavior parity is
+    # carried by test_marching_tets_structured_matches_compact.
     fused = marching_tets_structured(grid, grid.arrays(), sdf,
                                      deform=deform, vert_cap=1024,
                                      face_cap=2048)
