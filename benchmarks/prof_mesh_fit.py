@@ -38,6 +38,9 @@ ap.add_argument("--generic-grid", action="store_true",
 ap.add_argument("--variants", default=None,
                 help="comma list of ablation variants to run (skips the "
                      "main phase timings)")
+ap.add_argument("--normals", action="store_true",
+                help="add normal-map targets (production: r4 all-view "
+                     "normal supervision adds a tv_loss per step)")
 args = ap.parse_args()
 
 res, size = args.res, args.size
@@ -83,6 +86,9 @@ targets = {"images": jnp.full((N, size, size, 3), 0.5),
            "masks": jnp.ones((N, size, size, 1)),
            "poses": jnp.asarray(poses), "intrinsics": jnp.asarray(intr),
            "cam_weights": jnp.ones((N,)), "cam_lights": jnp.asarray(lights)}
+if args.normals:
+    targets["normals"] = jnp.full((N, size, size, 3), 0.5)
+    targets["normal_weights"] = jnp.ones((N,))
 
 lpips_params = None
 if not args.no_lpips:
@@ -214,7 +220,88 @@ if True:
         "full8": lambda: run_variant("full 8-step", color_fn,
                                      dict(n_steps=8), n_steps=8),
         "adam": lambda: probe_adam(),
+        # r5 attribution of the ~300 ms "losses/solver/sample" remainder:
+        # norender8 monkeypatches render_views with a shape-correct fake
+        # (grad paths to verts + field kept alive through scalars), so it
+        # times EVERYTHING except raster+shade: sample_batch + frozen-topo
+        # verts lerp + tonemap/l1/tv losses + regularizers + Adam
+        "norender8": lambda: run_norender(),
+        "sample": lambda: probe_sample(),
+        "lerp": lambda: probe_lerp(),
     }
+
+    def run_norender():
+        real = MF.render_views
+
+        def fake_render_views(verts, faces, face_mask, poses_c2w,
+                              intrinsics, rcfg, shading_fun=None, ssaa=1,
+                              bg_color=1.0, **kw):
+            n = poses_c2w.shape[0]
+            H, W = rcfg.height, rcfg.width
+            g = jnp.tanh(jnp.mean(verts)) * 0.01
+            s = 0.0
+            if shading_fun is not None:
+                tap = shading_fun(jnp.zeros((1, 1, 1, 3)),
+                                  jnp.zeros((1, 1, 1, 3)),
+                                  jnp.zeros((1, 1, 1, 3)))
+                s = jnp.mean(tap) * 0.01
+            base = g + s
+            return {"alpha": jnp.full((n, H, W, 1), 0.5) + base,
+                    "alpha_hard": jnp.full((n, H, W, 1), 1.0),
+                    "rgb": jnp.full((n, H, W, 3), 0.5) + base,
+                    "normal": jnp.full((n, H, W, 3), 0.577) + base,
+                    "xyz": jnp.full((n, H, W, 3), 0.0) + base,
+                    "depth": jnp.full((n, H, W), 2.5)}
+
+        MF.render_views = fake_render_views
+        try:
+            # lp=None to match the frozen8 arm (lpips itself is +9 ms)
+            run_variant("norender 8-step (frozen)", color_fn,
+                        dict(freeze_topology=True, n_steps=8),
+                        n_steps=8)
+        finally:
+            MF.render_views = real
+
+    def probe_sample():
+        # the per-step target-view gather + categorical draw, alone
+        @jax.jit
+        def samp(key, targets):
+            p = (targets["cam_weights"] > 0).astype(jnp.float32)
+            ids = jax.random.categorical(
+                key, jnp.log(jnp.clip(p, 1e-9, None))[None].repeat(
+                    mcfg.render_bs, 0))
+            tot = 0.0
+            for k in ("images", "masks", "poses", "intrinsics",
+                      "cam_weights", "cam_lights"):
+                tot = tot + jnp.sum(targets[k][ids])
+            return tot
+
+        t, _ = tmit(samp, jax.random.PRNGKey(0), targets, n=10)
+        print(f"probe[sample_batch gather]: {t*1e3:.1f} ms", flush=True)
+
+    def probe_lerp():
+        # frozen-topology per-step geometry: marching_tets_verts fwd+bwd
+        from mvedit_tpu.models.mesh.structured_tets import (
+            marching_tets_topology, marching_tets_verts)
+        if args.generic_grid:
+            print("probe[lerp]: structured only", flush=True)
+            return
+        cell = 2.0 / grid.resolution
+        topo = jax.jit(lambda s: marching_tets_topology(
+            grid, grid.arrays(), s, vert_cap=vert_cap,
+            face_cap=vert_cap + (vert_cap >> 1)))(state["sdf"])
+
+        @jax.jit
+        def lerp_vg(sdf, deform):
+            def f(sdf, deform):
+                d = jnp.tanh(deform) * (0.5 * cell)
+                return jnp.sum(marching_tets_verts(grid, topo, sdf,
+                                                   deform=d))
+            l, g = jax.value_and_grad(f, argnums=(0, 1))(sdf, deform)
+            return l, g
+
+        t, _ = tmit(lerp_vg, state["sdf"], state["deform"], n=10)
+        print(f"probe[verts-lerp fwd+bwd]: {t*1e3:.1f} ms", flush=True)
 
     def probe_adam():
         # standalone Adam cost on the production-shaped state (field

@@ -129,13 +129,27 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
     is_small = live & (~is_big)
     INVALID = jnp.int32(cfg.num_tiles)
 
+    # packed single-array sort when (tile, tri) fits one int32: key =
+    # tile_id << bits(F) | tri_id. One operand rides the compare-exchange
+    # network instead of two — measured ~2.3x faster than the two-array
+    # lax.sort at the mesh-fit production shape (prof_bin.py), and stable
+    # by construction. Falls back to the two-array sort when the packed
+    # key would overflow int32 (e.g. 2048^2 atlas bakes: 16k tiles).
+    shift = max(F - 1, 1).bit_length()
+    packable = (cfg.num_tiles + 1) << shift <= 2 ** 31
+
+    def _sort_pairs(keys, vals):
+        if packable:
+            packed = jax.lax.sort((keys << shift) | vals)
+            return packed >> shift, packed & ((1 << shift) - 1)
+        return jax.lax.sort((keys, vals), num_keys=1)
+
     if cfg.bin_mode == "t0":
         # bin sort over F elements instead of F * span^2 (measured 63.8
         # -> ~25 ms of an 84 ms raster fwd at 393k faces, PERF.md r4)
         tile_id1 = t0[:, 1] * cfg.tiles_x + t0[:, 0]      # (F,)
         keys = jnp.where(is_small, tile_id1, INVALID)
-        keys, vals = jax.lax.sort(
-            (keys, jnp.arange(F, dtype=jnp.int32)), num_keys=1)
+        keys, vals = _sort_pairs(keys, jnp.arange(F, dtype=jnp.int32))
     else:
         # emit pairs
         S = cfg.span
@@ -153,7 +167,7 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
         vals = jnp.broadcast_to(
             jnp.arange(F, dtype=jnp.int32)[:, None, None],
             tile_id.shape).reshape(-1)
-        keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+        keys, vals = _sort_pairs(keys, vals)
 
     starts = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="left")
     ends = jnp.searchsorted(keys, jnp.arange(cfg.num_tiles), side="right")

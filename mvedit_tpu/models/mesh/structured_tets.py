@@ -114,10 +114,15 @@ class StructuredTetGrid:
 
     def arrays(self):
         """Traced-arg pytree (the static cell mask; tiny vs the generic
-        grid's hundreds of MB of tables)."""
+        grid's hundreds of MB of tables).
+
+        Built with numpy, NOT jnp: jnp array creation inside a caller's
+        jit trace would memoize a tracer on the instance and leak it into
+        every later call (UnexpectedTracerError far from the cause).
+        numpy arrays are valid jit args and convert on dispatch."""
         if not hasattr(self, "_arrays"):
-            mask = (jnp.asarray(self._np_cell_mask()) if self.crop_sphere
-                    else jnp.ones((self.g,) * 3, bool))
+            mask = (self._np_cell_mask() if self.crop_sphere
+                    else np.ones((self.g,) * 3, bool))
             object.__setattr__(self, "_arrays", {"cell_mask": mask})
         return self._arrays
 

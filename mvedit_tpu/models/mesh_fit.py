@@ -114,7 +114,12 @@ def normal_consistency_loss(verts, faces, face_mask):
     static-shape stand-in for the reference's edge-paired normal
     consistency (base_mesh_renderer.py:55-68, which builds a dynamic
     edge-to-face map): per-vertex mean face normal vs each face normal.
+
+    Accumulation is ONE packed 3F-row segment_add of [fn*w | w] rows
+    instead of six narrow scatters (the loss side of the fit step is
+    scatter-bound: prof_losses.py r5).
     """
+    from ..ops.segment import segment_add
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
@@ -125,11 +130,10 @@ def normal_consistency_loss(verts, faces, face_mask):
     fn = fn * jax.lax.rsqrt(
         jnp.sum(fn * fn, axis=-1, keepdims=True) + 1e-20)
     w = face_mask.astype(verts.dtype)
-    vsum = jnp.zeros_like(verts)
-    deg = jnp.zeros((verts.shape[0],), verts.dtype)
-    for i in range(3):
-        vsum = vsum.at[faces[:, i]].add(fn * w[:, None])
-        deg = deg.at[faces[:, i]].add(w)
+    rows = jnp.concatenate([fn * w[:, None], w[:, None]], axis=1)  # (F, 4)
+    acc = segment_add(faces.reshape(-1), jnp.repeat(rows, 3, axis=0),
+                      verts.shape[0])
+    vsum, deg = acc[:, :3], acc[:, 3]
     vn = vsum / jnp.clip(deg[:, None], 1.0, None)
     vn = vn * jax.lax.rsqrt(
         jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-20)
@@ -144,15 +148,21 @@ def laplacian_loss(verts, faces, face_mask, vert_mask):
     Neighbor sums accumulated from the (masked) face buffer — equivalent to
     the reference's sparse uniform Laplacian (base_mesh_renderer.py:94-101).
     """
+    from ..ops.segment import segment_add
     w = face_mask.astype(verts.dtype)
-    nsum = jnp.zeros_like(verts)
-    deg = jnp.zeros((verts.shape[0],), verts.dtype)
-    for a, b in ((0, 1), (1, 2), (2, 0)):
-        ia, ib = faces[:, a], faces[:, b]
-        nsum = nsum.at[ia].add(verts[ib] * w[:, None])
-        nsum = nsum.at[ib].add(verts[ia] * w[:, None])
-        deg = deg.at[ia].add(w)
-        deg = deg.at[ib].add(w)
+    # one packed 6F-row segment_add of [neighbor*w | w] rows instead of
+    # twelve narrow scatters (prof_losses.py r5: the fused form halves
+    # the reg block)
+    dst = jnp.concatenate(
+        [faces[:, a] for a, _ in ((0, 1), (1, 0), (1, 2), (2, 1),
+                                  (2, 0), (0, 2))])
+    src = jnp.concatenate(
+        [faces[:, b] for _, b in ((0, 1), (1, 0), (1, 2), (2, 1),
+                                  (2, 0), (0, 2))])
+    w6 = jnp.tile(w, 6)
+    rows = jnp.concatenate([verts[src] * w6[:, None], w6[:, None]], axis=1)
+    acc = segment_add(dst, rows, verts.shape[0])
+    nsum, deg = acc[:, :3], acc[:, 3]
     lap = verts - nsum / jnp.clip(deg[:, None], 1.0, None)
     m = (vert_mask & (deg > 0)).astype(verts.dtype)
     # sqrt(sumsq+eps): plain norm's VJP is NaN at lap == 0 (flat vertex)
@@ -160,13 +170,24 @@ def laplacian_loss(verts, faces, face_mask, vert_mask):
     return jnp.sum(lap_mag * m) / jnp.clip(m.sum(), 1.0, None)
 
 
-def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
+def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig, mesh=None):
     """Build jitted `fit(state, opt_state, targets, key)`.
 
     state: {"field": albedo field params, "sdf": (V,), "deform": (V, 3) raw}.
     color_fn(field_params, xyz) -> rgb in [0,1] (the NGP albedo field).
     targets: dict images/masks/normals/poses/intrinsics/cam_weights/
     cam_lights as in nerf_fit.
+
+    mesh: optional jax.sharding.Mesh with a 'dp' axis. When given, the
+    pixel rows (H axis) of the rendered maps and the regularizer face
+    samples are sharded over 'dp' (same constraint-based SPMD pattern as
+    nerf_fit): the field shading, loss, and soft-alpha math — the
+    FLOP-heavy, per-pixel half of the step — split across chips, GSPMD
+    propagates the sharding backward into the tile shader, and the
+    scalar loss makes XLA emit the gradient psum over ICI. Extraction
+    and binning stay replicated (integer machinery, ~30% of the step —
+    the modeled 8-chip projection in PERF.md accounts for this Amdahl
+    split).
     """
     from .mesh.structured_tets import (StructuredTetGrid,
                                        marching_tets_structured,
@@ -215,6 +236,17 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     def _deform(state):
         return jnp.tanh(state["deform"]) * (cfg.deform_scale * cell)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _row_spec = NamedSharding(mesh, P(None, "dp"))
+        _face_spec = NamedSharding(mesh, P("dp"))
+
+    def _shard_rows(x):
+        # (B, H, W, ...) pixel maps: shard H over 'dp'
+        if mesh is None or getattr(x, "ndim", 0) < 3:
+            return x
+        return jax.lax.with_sharding_constraint(x, _row_spec)
+
     def loss_fn(state, batch, key, ga, sw, lpips_params, topo=None):
         if topo is not None:
             # frozen topology: only the vertex lerp is recomputed (and
@@ -229,6 +261,8 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
         if cfg.reg_face_samples and cfg.reg_face_samples < mt["faces"].shape[0]:
             rf = jax.random.randint(key, (cfg.reg_face_samples,), 0,
                                     mt["faces"].shape[0])
+            if mesh is not None:
+                rf = jax.lax.with_sharding_constraint(rf, _face_spec)
             reg_faces = mt["faces"][rf]
             reg_mask = mt["face_mask"][rf]
         else:
@@ -236,12 +270,21 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
             reg_mask = mt["face_mask"]
 
         def shading_fun(xyz, normal, view_dir):
-            return color_fn(state["field"], xyz)
+            return color_fn(state["field"], _shard_rows(xyz))
 
         out = render_views(
             mt["verts"], mt["faces"], mt["face_mask"], batch["poses"],
             batch["intrinsics"], cfg.raster, shading_fun=shading_fun,
             ssaa=cfg.ssaa, bg_color=cfg.bg_color)
+        if mesh is not None:
+            # pixel-sharded SPMD: the loss/shading math downstream (and,
+            # via GSPMD's backward propagation, the tile shader upstream)
+            # splits over chips; batch targets get the same layout below
+            out = {k: _shard_rows(v) for k, v in out.items()}
+            batch = dict(batch)
+            for k in ("rgb", "mask", "normal"):
+                if k in batch:
+                    batch[k] = _shard_rows(batch[k])
         alpha = out["alpha"]
         albedo = out["rgb"]
         # lambertian shading in tonemapped log space (same as nerf_fit)
@@ -381,26 +424,40 @@ def make_mesh_fit(grid: TetGrid, color_fn, cfg: MeshFitConfig):
     return fit, optimizer, extract
 
 
-def make_texture_refine(color_fn, cfg: MeshFitConfig, n_steps: int = 24):
+def make_texture_refine(color_fn, cfg: MeshFitConfig, n_steps: int = 24,
+                        mesh=None):
     """Texture-only refinement on a FIXED (decimated) mesh.
 
     The reference's final mesh_optim steps after quadric decimation
     (`mvedit_3d_pipeline.py:827-847,925`): the simplified mesh is frozen
     and only the albedo field keeps optimizing. Returns a jitted
     `refine(field_params, opt_state, verts, faces, targets, key,
-    sched=None, lpips_params=None)`.
+    sched=None, lpips_params=None)`. `mesh` shards the pixel rows over
+    'dp' as in make_mesh_fit.
     """
     tm = Tonemapping()
     optimizer = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _row_spec = NamedSharding(mesh, P(None, "dp"))
+
+    def _shard_rows(x):
+        if mesh is None or getattr(x, "ndim", 0) < 3:
+            return x
+        return jax.lax.with_sharding_constraint(x, _row_spec)
 
     def loss_fn(field, batch, verts, faces, fmask, sw, lpips_params, key):
         def shading_fun(xyz, normal, view_dir):
-            return color_fn(field, xyz)
+            return color_fn(field, _shard_rows(xyz))
 
         out = render_views(verts, faces, fmask, batch["poses"],
                            batch["intrinsics"], cfg.raster,
                            shading_fun=shading_fun, ssaa=cfg.ssaa,
                            bg_color=cfg.bg_color)
+        if mesh is not None:
+            out = {k: _shard_rows(v) for k, v in out.items()}
+            batch = dict(batch)
+            batch["rgb"] = _shard_rows(batch["rgb"])
         alpha = out["alpha"]
         albedo = out["rgb"]
         if cfg.shaded:

@@ -17,12 +17,26 @@ __all__ = ["Tonemapping"]
 
 
 def _searchsorted_interp(xq, xs, ys):
-    """Piecewise-linear interp of (xs, ys) at xq; linear extrapolation."""
-    i = jnp.clip(jnp.searchsorted(xs, xq, side="right"), 1, len(xs) - 1)
-    x0, x1 = xs[i - 1], xs[i]
-    y0, y1 = ys[i - 1], ys[i]
-    t = (xq - x0) / (x1 - x0)
-    return y0 + (y1 - y0) * t
+    """Piecewise-linear interp of (xs, ys) at xq; linear extrapolation.
+
+    Branchless: evaluates every segment's affine map and selects by
+    interval membership (static unroll over the 16 LUT knots). The
+    obvious per-element `searchsorted` + table gathers lower to serial
+    row gathers on TPU and measured **303 ms fwd+bwd** on the mesh-fit
+    step's 2x512^2x3 composite (benchmarks/prof_losses.py, r5) — the
+    single largest hidden cost of the fit step; this form is pure
+    VPU fma/select and fuses into the surrounding loss math.
+    Segment choice matches searchsorted(side="right") with clipping:
+    segment k = [xs[k], xs[k+1]), first/last segments extrapolate.
+    """
+    n = xs.shape[0]
+    y = None
+    for k in range(n - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        t = (xq - x0) / (x1 - x0)
+        yk = ys[k] + (ys[k + 1] - ys[k]) * t
+        y = yk if y is None else jnp.where(xq >= x0, yk, y)
+    return y
 
 
 @dataclass(frozen=True)

@@ -149,6 +149,46 @@ def dryrun(n_devices: int) -> None:
     jax.block_until_ready(loss)
     assert bool(jnp.isfinite(loss))
 
+    # --- sharded DMTet mesh fit step: pixel rows + reg faces over dp ---
+    # (make_mesh_fit(mesh=...): the e2e dominator phase; sharding it is
+    # the 8-chip strategy's load-bearing piece, so the driver gate runs
+    # one tiny sharded fit program, not just denoise + NeRF)
+    from ..models import mesh_fit as MF
+    from ..models.mesh.rasterize import RasterConfig
+    from ..models.mesh.structured_tets import StructuredTetGrid
+    from ..models.fields import ingp_point_decode as ipd
+    from ..apis.cameras import surround_rig
+    from ..utils import camera as cam_utils
+
+    tgrid = StructuredTetGrid(8)
+    mcfg = MF.MeshFitConfig(
+        raster=RasterConfig(height=n_devices * 4, width=n_devices * 4,
+                            k_per_tile=64, k_big=16),
+        n_steps=1, render_bs=2, reg_face_samples=n_devices * 16,
+        vert_cap=512, face_cap=1024, patch_size=n_devices * 4,
+        freeze_topology=True)
+    mfit, mopt, _ = MF.make_mesh_fit(
+        tgrid, lambda p, x: ipd(p, x, TINY_INGP)[1], mcfg, mesh=mesh)
+    gv = np.asarray(tgrid.verts)
+    mstate = {"field": fparams2,
+              "sdf": jnp.asarray(0.6 - np.linalg.norm(gv, axis=-1),
+                                 jnp.float32),
+              "deform": jnp.zeros((len(gv), 3), jnp.float32)}
+    rngm = np.random.default_rng(0)
+    hp = n_devices * 4
+    poses_m, intr_m = surround_rig(2, 2.5, 40, 0.0, 0.3, hp, rng=rngm)
+    lights_m, _ = cam_utils.light_sampling(poses_m, rng=rngm)
+    mtargets = {"images": jnp.full((2, hp, hp, 3), 0.5),
+                "masks": jnp.ones((2, hp, hp, 1)),
+                "poses": jnp.asarray(poses_m),
+                "intrinsics": jnp.asarray(intr_m),
+                "cam_weights": jnp.ones((2,)),
+                "cam_lights": jnp.asarray(lights_m)}
+    mstate, _, mout = mfit(mstate, mopt.init(mstate), mtargets,
+                           jax.random.PRNGKey(1))
+    jax.block_until_ready(mout["loss"])
+    assert bool(jnp.isfinite(mout["loss"]).all())
+
 
 def dryrun_pipeline(mesh, num_views=None, steps=3, seed=0):
     """Run the full tiny MVEdit 3D pipeline sharded over `mesh`.

@@ -461,7 +461,8 @@ class MVEdit3DPipeline:
                     freeze_topology=(cfg.freeze_mesh_topology
                                      and cfg.structured_tets))
                 self._fit_cache[key] = MF.make_mesh_fit(
-                    tet_grid, self._color_fn, mcfg)
+                    tet_grid, self._color_fn, mcfg,
+                    mesh=self.device_mesh)
             return self._fit_cache[key]
 
         L = n_steps if cfg.fit_steps_per_program <= 0 \
@@ -1057,7 +1058,8 @@ class MVEdit3DPipeline:
                         patch_size=min(cfg.patch_size, cfg.render_size))
                     refine, ropt = MF.make_texture_refine(
                         self._color_fn, mcfg,
-                        n_steps=cfg.mesh_simplify_texture_steps)
+                        n_steps=cfg.mesh_simplify_texture_steps,
+                        mesh=self.device_mesh)
                     r_state = ropt.init(field)
                     sw = MF.default_mesh_schedule_weights(mcfg)
                     sw = {**sw, "lr": jnp.asarray(cfg.end_lr, jnp.float32),

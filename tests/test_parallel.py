@@ -97,3 +97,59 @@ def test_sharded_pipeline_matches_unsharded():
     # float reassociation across shardings accumulates through the fit
     # scans; demand close, not bitwise
     np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_sharded_mesh_fit_matches_single_device():
+    """make_mesh_fit(mesh=...): pixel rows + regularizer face samples
+    sharded over 'dp' must reproduce the unsharded fit (same seeds) —
+    the constraint-based SPMD changes layout, not the algorithm."""
+    from mvedit_tpu.models import mesh_fit as MF
+    from mvedit_tpu.models.mesh.rasterize import RasterConfig
+    from mvedit_tpu.models.mesh.structured_tets import StructuredTetGrid
+    from mvedit_tpu.models.fields import (INGPConfig, ingp_init,
+                                          ingp_point_decode)
+    from mvedit_tpu.ops.hash_grid import HashGridConfig
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    grid = StructuredTetGrid(12)
+    icfg = INGPConfig(hash=HashGridConfig(n_levels=2, base_resolution=4,
+                                          max_resolution=8,
+                                          log2_hashmap_size=8),
+                      hidden_dim=8)
+    # H = 64 rows so the 'dp' shard is 8 rows/device on the 8-dev mesh
+    cfg = MF.MeshFitConfig(
+        raster=RasterConfig(height=64, width=64, k_per_tile=64, k_big=32),
+        n_steps=2, render_bs=2, reg_face_samples=256,
+        vert_cap=1024, face_cap=2048, patch_size=32,
+        freeze_topology=True)
+    color = lambda p, x: ingp_point_decode(p, x, icfg)[1]  # noqa: E731
+    v = np.asarray(grid.verts)
+    rng = np.random.default_rng(0)
+    poses, intr = surround_rig(4, 2.5, 40, 0.0, 0.3, 64, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {"images": jnp.full((4, 64, 64, 3), 0.5),
+               "masks": jnp.ones((4, 64, 64, 1)),
+               "normals": jnp.full((4, 64, 64, 3), 0.5),
+               "normal_weights": jnp.ones((4,)),
+               "poses": jnp.asarray(poses),
+               "intrinsics": jnp.asarray(intr),
+               "cam_weights": jnp.ones((4,)),
+               "cam_lights": jnp.asarray(lights)}
+
+    results = []
+    for mesh in (None, make_mesh(8)):
+        fit, opt, _ = MF.make_mesh_fit(grid, color, cfg, mesh=mesh)
+        field = ingp_init(jax.random.PRNGKey(0), icfg)
+        state = {"field": field,
+                 "sdf": jnp.asarray(0.6 - np.linalg.norm(v, axis=-1),
+                                    jnp.float32),
+                 "deform": jnp.zeros((len(v), 3), jnp.float32)}
+        s, _, out = fit(state, opt.init(state), targets,
+                        jax.random.PRNGKey(1))
+        results.append((np.asarray(s["sdf"]), np.asarray(out["loss"])))
+
+    (sdf_ref, loss_ref), (sdf_sh, loss_sh) = results
+    assert np.isfinite(sdf_sh).all() and np.isfinite(loss_sh).all()
+    np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sdf_sh, sdf_ref, rtol=1e-3, atol=1e-5)
