@@ -426,6 +426,35 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
                         + 120 * mesh_st + 9 * 80 * mesh_st
                         + 24 * den_st + 25 * render_st
                         + phases.get("bake", 0.0))
+    # ---- modeled 8-chip (v5e-8) projection --------------------------
+    # Amdahl split per phase: the fraction of each steady unit that
+    # shards over 'dp' under the WIRED sharding paths (denoise view axis,
+    # nerf ray axis, mesh pixel-row/face-sample constraint-SPMD,
+    # render_all view axis). Fractions derive from the r5 on-chip
+    # attribution (PERF.md r5 table):
+    # - mesh_fit: render+shading 383 ms + losses/regs ~50 of 645 -> 0.67
+    #   (replicated: verts-lerp 32, bin/candidate machinery partially,
+    #   Adam/sample/scan ~160)
+    # - nerf_fit: ray-sharded encode/decode fwd+bwd + losses ~0.85 (the
+    #   r3 fold table: encode fwd+bwd 177 of 239; Adam/occupancy repl.)
+    # - denoise: 32-view CFG batch = 64 images -> 8/chip; solver/scalar
+    #   ops replicated -> 0.95
+    # - render_all: embarrassingly view-parallel -> 0.95; bake: 1 chip
+    SHARD_FRAC = {"nerf_fit": 0.85, "mesh_fit": 0.67,
+                  "denoise": 0.95, "render_all": 0.95}
+
+    def _chip8(unit, phase):
+        f = SHARD_FRAC[phase]
+        return unit * (f / 8.0 + (1.0 - f))
+
+    e2e_model_8chip = (256 * _chip8(nerf_st, "nerf_fit")
+                       + 15 * 80 * _chip8(nerf_st, "nerf_fit")
+                       + 120 * _chip8(mesh_st, "mesh_fit")
+                       + 9 * 80 * _chip8(mesh_st, "mesh_fit")
+                       + 24 * _chip8(den_st, "denoise")
+                       + 25 * _chip8(render_st, "render_all")
+                       + phases.get("bake", 0.0))
+
     rec = {
         "metric": "e2e 3d-to-3d wall clock (reduced steps, 512^2, tet 128)",
         "value": round(wall, 2),
@@ -467,6 +496,14 @@ def main_e2e(steps=6, num_views=16, n_inverse_steps=16,
         # is the north star; single-chip reads below 1)
         "e2e_vs_a100_modeled": round(A100_E2E_MODELED_S / e2e_model_steady,
                                      4) if e2e_model_steady else None,
+        # the v5e-8 figure the >=3x north star is scored against: steady
+        # units under the wired sharding paths, Amdahl-split per phase
+        # (fractions + derivation above; MODELED — no 8-chip slice here)
+        "e2e_production_modeled_8chip_s": round(e2e_model_8chip, 1),
+        "e2e_vs_a100_modeled_8chip": round(
+            A100_E2E_MODELED_S / e2e_model_8chip, 4)
+        if e2e_model_8chip else None,
+        "shard_fractions": SHARD_FRAC,
         "mesh_ok": out.get("mesh") is not None,
     }
     if err is not None:

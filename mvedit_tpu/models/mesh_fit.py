@@ -115,11 +115,11 @@ def normal_consistency_loss(verts, faces, face_mask):
     consistency (base_mesh_renderer.py:55-68, which builds a dynamic
     edge-to-face map): per-vertex mean face normal vs each face normal.
 
-    Accumulation is ONE packed 3F-row segment_add of [fn*w | w] rows
-    instead of six narrow scatters (the loss side of the fit step is
-    scatter-bound: prof_losses.py r5).
+    Accumulation stays as per-corner .at[].add scatters: a packed
+    segment_add variant (one 3F-row 4ch scatter) was A/B'd on chip and
+    LOST (prof_losses.py r5: lap+NC 62.5 ms loop vs 76.1 ms packed — the
+    tile/repeat materialization outweighs the scatter-count saving).
     """
-    from ..ops.segment import segment_add
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
@@ -130,10 +130,11 @@ def normal_consistency_loss(verts, faces, face_mask):
     fn = fn * jax.lax.rsqrt(
         jnp.sum(fn * fn, axis=-1, keepdims=True) + 1e-20)
     w = face_mask.astype(verts.dtype)
-    rows = jnp.concatenate([fn * w[:, None], w[:, None]], axis=1)  # (F, 4)
-    acc = segment_add(faces.reshape(-1), jnp.repeat(rows, 3, axis=0),
-                      verts.shape[0])
-    vsum, deg = acc[:, :3], acc[:, 3]
+    vsum = jnp.zeros_like(verts)
+    deg = jnp.zeros((verts.shape[0],), verts.dtype)
+    for i in range(3):
+        vsum = vsum.at[faces[:, i]].add(fn * w[:, None])
+        deg = deg.at[faces[:, i]].add(w)
     vn = vsum / jnp.clip(deg[:, None], 1.0, None)
     vn = vn * jax.lax.rsqrt(
         jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-20)
@@ -148,21 +149,17 @@ def laplacian_loss(verts, faces, face_mask, vert_mask):
     Neighbor sums accumulated from the (masked) face buffer — equivalent to
     the reference's sparse uniform Laplacian (base_mesh_renderer.py:94-101).
     """
-    from ..ops.segment import segment_add
+    # per-edge .at[].add scatters: the packed-segment_add form was A/B'd
+    # on chip and lost (see normal_consistency_loss perf note)
     w = face_mask.astype(verts.dtype)
-    # one packed 6F-row segment_add of [neighbor*w | w] rows instead of
-    # twelve narrow scatters (prof_losses.py r5: the fused form halves
-    # the reg block)
-    dst = jnp.concatenate(
-        [faces[:, a] for a, _ in ((0, 1), (1, 0), (1, 2), (2, 1),
-                                  (2, 0), (0, 2))])
-    src = jnp.concatenate(
-        [faces[:, b] for _, b in ((0, 1), (1, 0), (1, 2), (2, 1),
-                                  (2, 0), (0, 2))])
-    w6 = jnp.tile(w, 6)
-    rows = jnp.concatenate([verts[src] * w6[:, None], w6[:, None]], axis=1)
-    acc = segment_add(dst, rows, verts.shape[0])
-    nsum, deg = acc[:, :3], acc[:, 3]
+    nsum = jnp.zeros_like(verts)
+    deg = jnp.zeros((verts.shape[0],), verts.dtype)
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        ia, ib = faces[:, a], faces[:, b]
+        nsum = nsum.at[ia].add(verts[ib] * w[:, None])
+        nsum = nsum.at[ib].add(verts[ia] * w[:, None])
+        deg = deg.at[ia].add(w)
+        deg = deg.at[ib].add(w)
     lap = verts - nsum / jnp.clip(deg[:, None], 1.0, None)
     m = (vert_mask & (deg > 0)).astype(verts.dtype)
     # sqrt(sumsq+eps): plain norm's VJP is NaN at lap == 0 (flat vertex)
