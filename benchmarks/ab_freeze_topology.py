@@ -56,9 +56,9 @@ def gt_sdf(p):
 
 vert_cap = 1 << max(9, (16 * res * res - 1).bit_length())
 face_cap = vert_cap + (vert_cap >> 1)
-gt_mt = marching_tets_structured(grid, grid.arrays(),
-                                 jnp.asarray(gt_sdf(v), jnp.float32),
-                                 vert_cap=vert_cap, face_cap=face_cap)
+gt_mt = jax.jit(lambda s: marching_tets_structured(
+    grid, grid.arrays(), s, vert_cap=vert_cap, face_cap=face_cap))(
+    jnp.asarray(gt_sdf(v), jnp.float32))
 
 N = 16
 rng = np.random.default_rng(0)
@@ -124,8 +124,11 @@ def face_samples(mt, n=50000, seed=3):
     live faces (area weighting omitted — identical protocol both arms)."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     fmask = mt["face_mask"]
-    probs = jnp.log(jnp.clip(fmask.astype(jnp.float32), 1e-9, None))
-    fid = jax.random.categorical(k1, probs[None].repeat(n, 0))
+    # inverse-CDF draw over live faces (categorical would materialize an
+    # (n, face_cap) gumbel — 40 GB at these caps)
+    cdf = jnp.cumsum(fmask.astype(jnp.float32))
+    u = jax.random.uniform(k1, (n,)) * cdf[-1]
+    fid = jnp.clip(jnp.searchsorted(cdf, u), 0, fmask.shape[0] - 1)
     f = mt["faces"][fid]
     uv = jax.random.uniform(k2, (n, 2))
     u = jnp.where(uv.sum(-1) > 1, 1 - uv[:, 0], uv[:, 0])

@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from .norm import GroupNormNHWC
 
 __all__ = ["AttnMode", "dot_product_attention", "CrossAttention",
            "FeedForward", "BasicTransformerBlock", "Transformer2D"]
@@ -288,7 +289,7 @@ class Transformer2D(nn.Module):
         """x: (B, H, W, C) NHWC. Returns (out, written_kv or None)."""
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear:
             h = h.reshape(B, H * W, C)
             h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)

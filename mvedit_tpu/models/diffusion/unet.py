@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import AttnMode, Transformer2D
+from .norm import GroupNormNHWC
 
 __all__ = ["UNetConfig", "UNet2DCondition", "timestep_embedding",
            "SD15_UNET", "SD21_UNET"]
@@ -67,14 +68,14 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, temb):
         """x: (B, H, W, C); temb: (B, T)."""
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = GroupNormNHWC(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(jax.nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = GroupNormNHWC(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -224,7 +225,7 @@ class UNet2DCondition(nn.Module):
             if bi != len(rev_ch) - 1:
                 h = Upsample(ch, dtype=dt, name=f"up_{bi}_upsample")(h)
 
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=dt, name="conv_norm_out")(h)
+        h = GroupNormNHWC(32, epsilon=1e-5, dtype=dt, name="conv_norm_out")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(h)

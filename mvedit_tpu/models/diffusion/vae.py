@@ -16,6 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from .norm import GroupNormNHWC
 
 __all__ = ["VAEConfig", "Encoder", "Decoder", "AutoencoderKL", "SD_VAE"]
 
@@ -40,11 +41,11 @@ class VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -61,7 +62,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=self.dtype,
                          name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
@@ -96,7 +97,7 @@ class Encoder(nn.Module):
         h = VAEResnet(ch, dtype=dt, name="mid_resnets_0")(h)
         h = VAEAttention(ch, dtype=dt, name="mid_attentions_0")(h)
         h = VAEResnet(ch, dtype=dt, name="mid_resnets_1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=dt,
                     name="conv_out")(h)
@@ -127,7 +128,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{bi}_upsample")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
+        h = GroupNormNHWC(32, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
         h = jax.nn.silu(h)
         return nn.Conv(3, (3, 3), padding=1, dtype=jnp.float32,
                        name="conv_out")(h)

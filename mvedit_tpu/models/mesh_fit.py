@@ -67,7 +67,11 @@ class MeshFitConfig:
     # positions per inner step (structured grids only). Step 0 is exactly
     # the per-step path; later steps see topology at most n_steps-1
     # updates stale, refreshed every program (the pipeline chains <= 8-
-    # step programs). Saves the ~200 ms/step integer extraction half.
+    # step programs). Saves a measured 164 ms/step at tet 128 (1098 ->
+    # 934, prof_mesh_fit r5). Quality A/B'd vs per-step extraction on an
+    # 80-step bumpy-sphere fit (ab_freeze_topology.py, PERF.md r5):
+    # chamfer identical to 5 digits, silhouette IoU within 4e-4 —
+    # the staleness is quality-neutral at the pipeline's program length.
     freeze_topology: bool = False
 
 

@@ -20,6 +20,7 @@ from itertools import product
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["DenseGridConfig", "dense_grid_init", "dense_grid_encode"]
@@ -56,11 +57,8 @@ def dense_grid_init(key, cfg: DenseGridConfig, scale=1e-4):
     return tables
 
 
-def _fold_table(tab, fold):
-    """(S, S, S, F) -> (S, S, S, fold*F) with the +z / +y / +x neighbour
-    rows packed into channels (edge rows repeat — matches per-corner index
-    clamping). Channel block order after full folding:
-    [x0y0z0, x0y0z1, x0y1z0, x0y1z1, x1y0z0, x1y0z1, x1y1z0, x1y1z1]."""
+def _fold_table_concat(tab, fold):
+    """Reference implementation: slice + channel-axis concat."""
     if fold >= 2:
         nz = jnp.concatenate([tab[:, :, 1:], tab[:, :, -1:]], axis=2)
         tab = jnp.concatenate([tab, nz], axis=-1)
@@ -71,6 +69,39 @@ def _fold_table(tab, fold):
         nx = jnp.concatenate([tab[1:], tab[-1:]], axis=0)
         tab = jnp.concatenate([tab, nx], axis=-1)
     return tab
+
+
+def _fold_table(tab, fold):
+    """(S, S, S, F) -> (S, S, S, fold*F) with the +z / +y / +x neighbour
+    rows packed into channels (edge rows repeat — matches per-corner index
+    clamping). Channel block order after full folding:
+    [x0y0z0, x0y0z1, x0y1z0, x0y1z1, x1y0z0, x1y0z1, x1y1z0, x1y1z1].
+
+    Implemented as a one-hot 2x2x2 convolution on the edge-replicated
+    table: the channel-axis concats of the slice formulation write
+    sub-tile lane blocks (8 of F=8 lanes into 64) and measured ~40 ms per
+    fit step as data-formatting loops on the 161^3 table (mesh-step
+    xplane trace, PERF.md r5); the conv form is one MXU pass, and its
+    transpose (the fold backward, run every fit step) is a conv too.
+    Bit-exactness vs the slice form is pinned by
+    test_ops.py::test_fold_table_conv_matches_concat."""
+    if fold == 1:
+        return tab
+    s = tab.shape[0]
+    F = tab.shape[-1]
+    taps = {2: (1, 1, 2), 4: (1, 2, 2), 8: (2, 2, 2)}[fold]
+    pad = [(0, t - 1) for t in taps] + [(0, 0)]
+    x = jnp.pad(tab, pad, mode="edge")[None]              # (1, S+, S+, S+, F)
+    k = np.zeros(taps + (F, fold * F), np.float32)
+    for b, (dx, dy, dz) in enumerate(product(*[range(t) for t in taps])):
+        for f in range(F):
+            k[dx, dy, dz, f, b * F + f] = 1.0
+    out = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k, tab.dtype), window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        preferred_element_type=tab.dtype)
+    return out[0]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -332,3 +332,40 @@ def test_dpmsolver_matches_numpy_rederivation():
         # 5e-3 still catches any sign/term slip (those are O(1))
         np.testing.assert_allclose(np.asarray(x), want,
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_group_norm_nhwc_matches_flax():
+    """GroupNormNHWC (layout-preserving, folded affine) == nn.GroupNorm
+    for f32 and bf16 inputs, values and grads."""
+    import flax.linen as nn
+    from mvedit_tpu.models.diffusion.norm import GroupNormNHWC
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 64)) * 3.0 + 0.5
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        ours = GroupNormNHWC(32, epsilon=1e-6, dtype=dtype)
+        ref = nn.GroupNorm(32, epsilon=1e-6, dtype=dtype)
+        # identical param pytrees (scale/bias by name) -> share ref's init
+        p = ref.init(key, x.astype(dtype))
+        scale_k = jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.3 + 1
+        bias_k = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.2
+        p = {"params": {"scale": scale_k, "bias": bias_k}}
+        a = ours.apply(p, x.astype(dtype))
+        b = ref.apply(p, x.astype(dtype))
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=tol, rtol=tol)
+
+        def loss_ours(pp, xx):
+            return jnp.sum(ours.apply(pp, xx) ** 2)
+
+        def loss_ref(pp, xx):
+            return jnp.sum(ref.apply(pp, xx) ** 2)
+
+        ga = jax.grad(loss_ours)(p, x.astype(dtype))
+        gb = jax.grad(loss_ref)(p, x.astype(dtype))
+        for ka in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(ga["params"][ka], np.float32),
+                np.asarray(gb["params"][ka], np.float32),
+                atol=tol * 50, rtol=tol * 10)

@@ -340,3 +340,20 @@ class TestInterpolateVJP:
                                    rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
                                    rtol=2e-5, atol=1e-5)
+
+
+def test_fold_table_conv_matches_concat():
+    """The one-hot-conv fold == the slice/concat reference, bitwise, for
+    every fold level and both dtypes (the conv is a pure permutation:
+    one-hot taps make every accumulation an add of exact zeros)."""
+    from mvedit_tpu.ops.dense_grid import _fold_table, _fold_table_concat
+
+    key = jax.random.PRNGKey(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        tab = jax.random.normal(key, (9, 9, 9, 4)).astype(dtype)
+        for fold in (1, 2, 4, 8):
+            a = _fold_table(tab, fold)
+            b = _fold_table_concat(tab, fold)
+            assert a.shape == b.shape == (9, 9, 9, fold * 4)
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32))
