@@ -145,8 +145,11 @@ def _bin_triangles(pts, faces, face_valid, cfg: RasterConfig):
         return jax.lax.sort((keys, vals), num_keys=1)
 
     if cfg.bin_mode == "t0":
-        # bin sort over F elements instead of F * span^2 (measured 63.8
-        # -> ~25 ms of an 84 ms raster fwd at 393k faces, PERF.md r4)
+        # bin sort over F elements instead of F * span^2. NOTE the r4
+        # numbers that motivated this mode were dispatch-contaminated
+        # (~27 ms tunnel overhead per standalone measurement); the r5
+        # xplane trace puts the in-program pair sort at ~13 ms/view
+        # (PERF.md r5) — t0 remains a config option, not the default
         tile_id1 = t0[:, 1] * cfg.tiles_x + t0[:, 0]      # (F,)
         keys = jnp.where(is_small, tile_id1, INVALID)
         keys, vals = _sort_pairs(keys, jnp.arange(F, dtype=jnp.int32))

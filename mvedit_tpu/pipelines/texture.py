@@ -100,6 +100,12 @@ def make_texture_fit(color_fn, cfg: TextureConfig, n_views=None,
     optimizer = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
     n = n_views or cfg.num_views
     vps = min(cfg.views_per_step, n)
+    # bound single-program device runtime: the tunneled device kills
+    # long executions (PERF.md "Single-program device runtime is
+    # bounded") — the superres 512-step fit as ONE scan program died
+    # with a TPU worker crash in the r5 record run. Chain <=64-step
+    # programs through donated buffers like the nerf/mesh fits.
+    L_PER_PROGRAM = 64
 
     def loss_fn(params, geom, targets, ids):
         xyz = geom["xyz"][ids]
@@ -114,26 +120,49 @@ def make_texture_fit(color_fn, cfg: TextureConfig, n_views=None,
                 targets["images"][ids]) * cfg.patch_rgb_weight
         return total
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    def _make_program(steps):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fit_l(params, opt_state, geom, targets, key):
+            p = targets.get("cam_weights")
+            logp = jnp.zeros((n,)) if p is None else \
+                jnp.log(jnp.clip((p > 0).astype(jnp.float32), 1e-9, None))
+
+            def step(carry, k):
+                params, opt_state = carry
+                ids = jax.random.categorical(k, logp[None].repeat(vps, 0))
+                loss, grads = jax.value_and_grad(loss_fn)(params, geom,
+                                                          targets, ids)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(key, steps)
+            (params, opt_state), losses_hist = jax.lax.scan(
+                step, (params, opt_state), keys)
+            return params, opt_state, losses_hist
+
+        return fit_l
+
+    Lp = min(L_PER_PROGRAM, cfg.n_inverse_steps)
+    fit_l = _make_program(Lp)
+    rem = cfg.n_inverse_steps % Lp
+    fit_r = _make_program(rem) if rem else None
+
     def fit(params, opt_state, geom, targets, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        p = targets.get("cam_weights")
-        logp = jnp.zeros((n,)) if p is None else \
-            jnp.log(jnp.clip((p > 0).astype(jnp.float32), 1e-9, None))
-
-        def step(carry, k):
-            params, opt_state = carry
-            ids = jax.random.categorical(k, logp[None].repeat(vps, 0))
-            loss, grads = jax.value_and_grad(loss_fn)(params, geom,
-                                                      targets, ids)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        keys = jax.random.split(key, cfg.n_inverse_steps)
-        (params, opt_state), losses_hist = jax.lax.scan(
-            step, (params, opt_state), keys)
-        return params, opt_state, losses_hist
+        hists = []
+        for _ in range(cfg.n_inverse_steps // Lp):
+            key, kc = jax.random.split(key)
+            params, opt_state, h = fit_l(params, opt_state, geom,
+                                         targets, kc)
+            hists.append(h)
+        if fit_r is not None:
+            key, kc = jax.random.split(key)
+            params, opt_state, h = fit_r(params, opt_state, geom,
+                                         targets, kc)
+            hists.append(h)
+        return params, opt_state, jnp.concatenate(hists)
 
     return fit, optimizer
 
