@@ -809,7 +809,8 @@ class MVEdit3DPipeline:
                     tgt["masks"] = tgt["masks"].at[bj].set(
                         m.segment_fn(dec_imgs))
                 if pt is not None:
-                    pt.tick("denoise_p1+vae_dec", tgt["images"])
+                    pt.tick("denoise_p1+vae_dec", tgt["images"],
+                            sig=(len(bsel), in_mesh_phase))
 
             # ---- 3D fuse ----
             key, kf = jax.random.split(key)
@@ -823,7 +824,8 @@ class MVEdit3DPipeline:
                     nerf_params, opt_state, grid, tgt_rs, kf,
                     sched=sw, lpips_params=lpips_params)
                 if pt is not None:
-                    pt.tick("nerf_fit", nerf_params)
+                    pt.tick("nerf_fit", nerf_params,
+                            sig=(rs, n_steps))
             else:
                 first_mesh_step = mesh_state is None
                 if first_mesh_step:
@@ -869,7 +871,8 @@ class MVEdit3DPipeline:
                 last_mt = fit_out["mt"]
                 nerf_params = mesh_state["field"]
                 if pt is not None:
-                    pt.tick("mesh_fit", mesh_state["sdf"])
+                    pt.tick("mesh_fit", mesh_state["sdf"],
+                            sig=(n_steps,))
 
             # ---- re-render the bucket's views -> ctrl inputs + eps_3d ----
             _mem_debug(f"render-all i={i}")
@@ -898,7 +901,8 @@ class MVEdit3DPipeline:
             ctrl_images = jnp.clip(ctrl_rgb, 0.0, 1.0)
             ctrl_depths = ctrl_depths_full
             if pt is not None:
-                pt.tick("render_all", ctrl_images)
+                pt.tick("render_all", ctrl_images,
+                        sig=(mesh_state is None, rs, len(bsel)))
             if cfg.debug:
                 from ..utils.debug_viz import save_tiled_viz
                 save_tiled_viz(cfg.debug_dir, i, renders,
@@ -936,7 +940,8 @@ class MVEdit3DPipeline:
                         sch, ref_noisy, ref_eps, jnp.asarray(int(t)),
                         jnp.asarray(t_prev), ref_solver_state)
             if pt is not None and t is not None:
-                pt.tick("denoise_p2+vae_enc+solver", latents)
+                pt.tick("denoise_p2+vae_enc+solver", latents,
+                        sig=(len(bsel), in_mesh_phase))
             if progress_callback:
                 progress_callback(i, len(steps))
 

@@ -163,7 +163,7 @@ class TextureSuperResPipeline:
                 sch, latents, eps_unet, jnp.asarray(int(t)),
                 jnp.asarray(t_prev), solver_state)
             if pt is not None:
-                pt.tick("superres_denoise", latents)
+                pt.tick("superres_denoise", latents, sig=0)
 
         final_views = jnp.clip(
             (vae_dec(self.m.vae_params, latents) + 1) / 2, 0, 1)

@@ -50,13 +50,18 @@ class PhaseTimer:
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.durations = defaultdict(list)  # per-tick wall times
+        self.sigs = defaultdict(list)       # per-tick program signatures
         self._last = None
 
     def mark(self):
         import time
         self._last = time.perf_counter()
 
-    def tick(self, name, *arrays):
+    def tick(self, name, *arrays, sig=None):
+        """Charge elapsed time to `name`. `sig` (hashable) identifies the
+        COMPILED-PROGRAM SIGNATURE this tick ran under — e.g. (rs, N,
+        phase) — so `steady` can drop each signature's first occurrence
+        (the XLA compile) instead of hoping the median rejects it."""
         import time
         import jax
         import jax.numpy as jnp
@@ -74,15 +79,35 @@ class PhaseTimer:
             self.totals[name] += now - self._last
             self.counts[name] += 1
             self.durations[name].append(now - self._last)
+            self.sigs[name].append(sig)
         self._last = now
 
     def steady(self, name, skip=1):
-        """Median per-tick wall time after dropping the first `skip`
-        ticks (which carry XLA compiles); None if too few ticks.
-        Later recompiles (view-bucket changes) are outliers the median
-        rejects."""
+        """Median warm per-tick wall time.
+
+        Every tick carries a program signature (tick(..., sig=...)); a
+        signature's FIRST tick includes its XLA compile, so it is dropped
+        and the median is taken over the rest. In a reduced-step record
+        run a phase may see 5-7 signatures across 6 calls (view-bucket /
+        render-size changes), so a plain median is mostly compile time —
+        e.g. the r5 e2e recorded denoise steady 4.4 s while the warm
+        repeated-signature calls measured 1.1-1.3 s. Falls back to
+        dropping the first `skip` ticks when no sigs were provided.
+        Returns None if nothing warm remains (the caller then uses the
+        conservative wall-amortized unit)."""
         import statistics
-        d = self.durations.get(name, [])[skip:]
+        d = self.durations.get(name, [])
+        s = self.sigs.get(name, [None] * len(d))
+        if any(x is not None for x in s):
+            seen = set()
+            warm = []
+            for dur, sg in zip(d, s):
+                if sg in seen:
+                    warm.append(dur)
+                else:
+                    seen.add(sg)
+            return statistics.median(warm) if warm else None
+        d = d[skip:]
         return statistics.median(d) if d else None
 
     def report(self):

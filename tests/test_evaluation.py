@@ -53,3 +53,24 @@ def test_aesthetic_head():
     params = net.init(jax.random.PRNGKey(0), emb)
     s = net.apply(params, emb)
     assert s.shape == (2,)
+
+
+def test_phase_timer_signature_steady():
+    """steady() drops each program signature's FIRST tick (its XLA
+    compile) and medians the warm rest; falls back to skip-first when no
+    sigs were passed."""
+    from mvedit_tpu.utils.profiling import PhaseTimer
+
+    pt = PhaseTimer()
+    pt.durations["p"] = [30.0, 1.0, 1.2, 40.0, 2.0, 1.1]
+    pt.sigs["p"] = [("a",), ("a",), ("a",), ("b",), ("b",), ("a",)]
+    # warm ticks: 1.0, 1.2, 2.0, 1.1 -> median 1.15
+    assert abs(pt.steady("p") - 1.15) < 1e-9
+    pt2 = PhaseTimer()
+    pt2.durations["q"] = [30.0, 1.0, 3.0]
+    pt2.sigs["q"] = [None, None, None]
+    assert pt2.steady("q") == 2.0  # skip-first fallback
+    pt3 = PhaseTimer()
+    pt3.durations["r"] = [30.0]
+    pt3.sigs["r"] = [("a",)]
+    assert pt3.steady("r") is None  # nothing warm
