@@ -206,15 +206,22 @@ def _gather_neighbourhood(tile_tris, tile_valid, cfg: RasterConfig):
     return jnp.concatenate(cands, 1), jnp.concatenate(valids, 1)
 
 
-def _winner_outputs(wt, hit, qp, tri_p, cull_backface):
+def _winner_outputs(wt, hit, qp, pts, faces, cull_backface):
     """Differentiable outputs for selected (winner) triangles.
 
     wt: (N,) tri ids; hit: (N,) bool; qp: (N, 2) pixel centers;
-    tri_p: (F, 3, 3). The selection itself is discrete (stop-gradient);
-    gradients to vertices flow through this recompute, matching
-    nvdiffrast's coverage semantics. Returns (tri_out, uv, z, hard, soft).
-    """
-    pw = tri_p[wt]                                    # (N, 3, 3)
+    pts: (V, 3) projected verts; faces: (F, 3). The selection itself is
+    discrete (stop-gradient); gradients to vertices flow through this
+    recompute, matching nvdiffrast's coverage semantics.
+
+    Gathers winner corners DIRECTLY from `pts` (not from a precomputed
+    tri_p=(F,3,3)): the backward then scatters per-pixel cotangents
+    straight into d_pts instead of accumulating a d_tri_p buffer and
+    converting it with a 3F-row scatter — that conversion alone was the
+    fit step's largest single op (81 ms/step, r5 xplane trace).
+    Returns (tri_out, uv, z, hard, soft)."""
+    fw = faces[wt]                                    # (N, 3) int
+    pw = pts[fw]                                      # (N, 3, 3)
     aw, bw, cw = pw[:, 0], pw[:, 1], pw[:, 2]
     area_w = _edge(aw[:, :2], bw[:, :2], cw[:, :2])
     sgn_w = jnp.where(cull_backface, 1.0, jnp.sign(area_w))
@@ -313,7 +320,8 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
             jnp.arange(cfg.height, dtype=pts.dtype) + 0.5,
             indexing="xy"), -1)
         flat = _winner_outputs(wt.reshape(-1), hit.reshape(-1),
-                               qp.reshape(-1, 2), tri_p, cfg.cull_backface)
+                               qp.reshape(-1, 2), pts, faces,
+                               cfg.cull_backface)
         tri_id, uv, z, hard, soft = (
             x.reshape((cfg.height, cfg.width) + x.shape[1:]) for x in flat)
         return {"tri_id": tri_id, "bary": uv, "z": z, "alpha_hard": hard,
@@ -358,7 +366,7 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
         # recompute winner barycentrics differentiably
         wt = tri_ids[best]                                # (P,)
         tri_out, uv, zpix, hard, alpha_soft = _winner_outputs(
-            wt, hit, q[:, 0], tri_p, cfg.cull_backface)
+            wt, hit, q[:, 0], pts, faces, cfg.cull_backface)
         return (tri_out.reshape(ts, ts), uv.reshape(ts, ts, 2),
                 zpix.reshape(ts, ts), hard.reshape(ts, ts),
                 alpha_soft.reshape(ts, ts))
