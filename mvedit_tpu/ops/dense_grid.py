@@ -87,7 +87,6 @@ def _fold_table(tab, fold):
     test_ops.py::test_fold_table_conv_matches_concat."""
     if fold == 1:
         return tab
-    s = tab.shape[0]
     F = tab.shape[-1]
     taps = {2: (1, 1, 2), 4: (1, 2, 2), 8: (2, 2, 2)}[fold]
     pad = [(0, t - 1) for t in taps] + [(0, 0)]
