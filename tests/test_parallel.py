@@ -153,3 +153,53 @@ def test_sharded_mesh_fit_matches_single_device():
     assert np.isfinite(sdf_sh).all() and np.isfinite(loss_sh).all()
     np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(sdf_sh, sdf_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_mesh_fit_hlo_actually_partitions():
+    """The sharded mesh fit must COMPILE to a partitioned program — not
+    silently replicate: the optimized HLO carries gradient all-reduces
+    and ops shaped on H/8 pixel-row shards (r5: 82 all-reduces / 3084
+    row-sharded ops at the probe shape)."""
+    import re
+    from mvedit_tpu.models import mesh_fit as MF
+    from mvedit_tpu.models.mesh.rasterize import RasterConfig
+    from mvedit_tpu.models.mesh.structured_tets import StructuredTetGrid
+    from mvedit_tpu.models.fields import (INGPConfig, ingp_init,
+                                          ingp_point_decode)
+    from mvedit_tpu.ops.dense_grid import DenseGridConfig
+    from mvedit_tpu.apis.cameras import surround_rig
+    from mvedit_tpu.utils import camera as cam_utils
+
+    grid = StructuredTetGrid(12)
+    ingp = INGPConfig(backend="dense",
+                      dense=DenseGridConfig(resolutions=(8, 16)))
+    cfg = MF.MeshFitConfig(
+        raster=RasterConfig(height=64, width=64, k_per_tile=64, k_big=16),
+        n_steps=1, render_bs=2, reg_face_samples=1024,
+        vert_cap=2048, face_cap=3072, patch_size=32,
+        freeze_topology=True)
+    color = lambda p, x: ingp_point_decode(p, x, ingp)[1]  # noqa: E731
+    mesh = make_mesh(8)
+    fit, opt, _ = MF.make_mesh_fit(grid, color, cfg, mesh=mesh)
+    v = np.asarray(grid.verts)
+    state = {"field": ingp_init(jax.random.PRNGKey(0), ingp),
+             "sdf": jnp.asarray(0.6 - np.linalg.norm(v, axis=-1),
+                                jnp.float32),
+             "deform": jnp.zeros((len(v), 3), jnp.float32)}
+    rng = np.random.default_rng(0)
+    poses, intr = surround_rig(2, 2.5, 40, 0.0, 0.3, 64, rng=rng)
+    lights, _ = cam_utils.light_sampling(poses, rng=rng)
+    targets = {"images": jnp.full((2, 64, 64, 3), 0.5),
+               "masks": jnp.ones((2, 64, 64, 1)),
+               "poses": jnp.asarray(poses),
+               "intrinsics": jnp.asarray(intr),
+               "cam_weights": jnp.ones((2,)),
+               "cam_lights": jnp.asarray(lights)}
+    txt = jax.jit(lambda s, o, t, k: fit(s, o, t, k)).lower(
+        state, opt.init(state), targets,
+        jax.random.PRNGKey(1)).compile().as_text()
+    n_ar = len(re.findall(r"all-reduce", txt))
+    # H=64 sharded over 8 devices -> row extent 8 in (B, 8, 64, C) ops
+    sharded_rows = len(re.findall(r"f32\[2,8,64", txt))
+    assert n_ar > 0, "no gradient all-reduce in the sharded fit HLO"
+    assert sharded_rows > 0, "no H/8-sharded pixel-row ops in the HLO"
