@@ -219,7 +219,10 @@ def _winner_outputs(wt, hit, qp, pts, faces, cull_backface):
     straight into d_pts instead of accumulating a d_tri_p buffer and
     converting it with a 3F-row scatter — that conversion alone was the
     fit step's largest single op (81 ms/step, r5 xplane trace).
-    Returns (tri_out, uv, z, hard, soft)."""
+    Returns (tri_out, uv, z, hard, soft, winner_faces) — winner_faces
+    is the (N, 3) vertex-index triple of the winner, returned so
+    `interpolate` reuses it instead of re-gathering faces[tri] per
+    pixel."""
     fw = faces[wt]                                    # (N, 3) int
     pw = pts[fw]                                      # (N, 3, 3)
     aw, bw, cw = pw[:, 0], pw[:, 1], pw[:, 2]
@@ -267,7 +270,8 @@ def _winner_outputs(wt, hit, qp, pts, faces, cull_backface):
     tri_out = jnp.where(hit, wt, -1)
     uv = jnp.where(hit[:, None], jnp.stack([u, v], -1), 0.0)
     zpix = jnp.where(hit, zpix, 0.0)
-    return (tri_out, uv, zpix, hit.astype(jnp.float32), alpha_soft)
+    return (tri_out, uv, zpix, hit.astype(jnp.float32), alpha_soft,
+            jax.lax.stop_gradient(fw))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -322,10 +326,12 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
         flat = _winner_outputs(wt.reshape(-1), hit.reshape(-1),
                                qp.reshape(-1, 2), pts, faces,
                                cfg.cull_backface)
-        tri_id, uv, z, hard, soft = (
-            x.reshape((cfg.height, cfg.width) + x.shape[1:]) for x in flat)
+        tri_id, uv, z, hard, soft, fw = (
+            x.reshape((cfg.height, cfg.width) + x.shape[1:])
+            for x in (flat[0], flat[1], flat[2], flat[3], flat[4],
+                      flat[5]))
         return {"tri_id": tri_id, "bary": uv, "z": z, "alpha_hard": hard,
-                "alpha": soft}
+                "alpha": soft, "winner_faces": fw}
 
     def shade_tile(args):
         tri_ids, valid, tile_idx = args   # (K,), (K,), scalar
@@ -365,14 +371,15 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
 
         # recompute winner barycentrics differentiably
         wt = tri_ids[best]                                # (P,)
-        tri_out, uv, zpix, hard, alpha_soft = _winner_outputs(
+        tri_out, uv, zpix, hard, alpha_soft, fw = _winner_outputs(
             wt, hit, q[:, 0], pts, faces, cfg.cull_backface)
         return (tri_out.reshape(ts, ts), uv.reshape(ts, ts, 2),
                 zpix.reshape(ts, ts), hard.reshape(ts, ts),
+                fw.reshape(ts, ts, 3),
                 alpha_soft.reshape(ts, ts))
 
     n_chunks = max(cfg.num_tiles // cfg.tile_chunk, 1)
-    tri_id, bary, z, hard, soft = jax.lax.map(
+    tri_id, bary, z, hard, fw, soft = jax.lax.map(
         shade_tile,
         (cand.reshape(cfg.num_tiles, -1),
          cand_valid.reshape(cfg.num_tiles, -1),
@@ -382,7 +389,7 @@ def rasterize(pts, faces, face_valid, cfg: RasterConfig):
 
     return {"tri_id": detile(tri_id), "bary": detile(bary),
             "z": detile(z), "alpha_hard": detile(hard),
-            "alpha": detile(soft)}
+            "alpha": detile(soft), "winner_faces": detile(fw)}
 
 
 def interpolate(attr, rast, faces):
@@ -396,8 +403,15 @@ def interpolate(attr, rast, faces):
     (its re-gathers of a0/a1/a2 cost more than autodiff's shared
     residuals). Callers cut rows instead by packing attributes into one
     call (render_views packs xyz+normal)."""
-    tri = jnp.maximum(rast["tri_id"], 0)
-    f = faces[tri]                      # (H, W, 3)
+    if "winner_faces" in rast:
+        # rasterize already gathered the winner's vertex triple per
+        # pixel — reuse it instead of re-gathering faces[tri] (one
+        # H*W-row int gather per interpolate call; for missed pixels
+        # both forms index an arbitrary valid face, masked out below)
+        f = rast["winner_faces"]
+    else:
+        tri = jnp.maximum(rast["tri_id"], 0)
+        f = faces[tri]                  # (H, W, 3)
     u = rast["bary"][..., 0:1]
     v = rast["bary"][..., 1:2]
     a0 = attr[f[..., 0]]
